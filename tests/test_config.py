@@ -1,0 +1,91 @@
+import os
+from pathlib import Path
+
+import pytest
+
+from wav2vecsegmenter_tpu.config import (
+    MissingMandatoryValue,
+    compose,
+    load_config,
+    merge,
+    save_config,
+    to_plain,
+)
+
+CONF = Path(__file__).resolve().parents[1] / "conf"
+
+
+def test_compose_train_defaults():
+    cfg = compose(CONF, "train")
+    assert cfg.task.model["_target_"] == "lib.models.SHAS"
+    assert cfg.task.model.wav2vec_keep_layers == 15
+    assert cfg.data.train.segment_length == 20  # ${segment_length} interp
+    assert cfg.batch_size == 14
+    assert cfg.learning_rate == 2.5e-4
+    # st_eval_online resolves via group-dir fallback into conf/st_eval/
+    assert cfg.st_eval_online.algorithm.tag == "pthr"
+    assert cfg.st_eval.algorithm.tag == "dac"
+    assert cfg.work_dir == os.getcwd()
+
+
+def test_group_selection_and_value_overrides():
+    cfg = compose(
+        CONF,
+        "train",
+        overrides=[
+            "task=shas_focal",
+            "batch_size=4",
+            "task.model.finetune_wav2vec=true",
+            "task.model.wav2vec_keep_layers=24",
+            "+extra_key=hello",
+        ],
+    )
+    assert cfg.task.loss["_target_"] == "lib.loss.FocalLoss"
+    assert cfg.batch_size == 4
+    assert cfg.task.model.finetune_wav2vec is True
+    assert cfg.task.model.wav2vec_keep_layers == 24
+    assert cfg.extra_key == "hello"
+
+
+def test_missing_mandatory_value():
+    cfg = compose(CONF, "segment")
+    with pytest.raises(MissingMandatoryValue):
+        _ = cfg.ckpt_path
+    assert cfg.get("ckpt_path") is None
+    cfg2 = compose(CONF, "segment", overrides=["ckpt_path=/tmp/x.pt"])
+    assert cfg2.ckpt_path == "/tmp/x.pt"
+
+
+def test_relative_interpolation():
+    cfg = compose(CONF, "segment")
+    # ${.data_dir} inside infer_data resolves against the sibling key
+    assert cfg.infer_data.wav_dir.startswith(cfg.infer_data.data_dir)
+
+
+def test_merge_training_config_at_inference(tmp_path):
+    train_cfg = compose(CONF, "train", overrides=["task=shas_focal"])
+    save_config(train_cfg, tmp_path / "config.yaml")
+    reloaded = load_config(tmp_path / "config.yaml")
+    seg_cfg = compose(CONF, "segment", overrides=["ckpt_path=/x.pt"])
+    merged = merge(reloaded, seg_cfg)
+    # model config comes from the training run; algorithm from the CLI config
+    assert merged.task.loss["_target_"] == "lib.loss.FocalLoss"
+    assert merged.algorithm.tag == "pthr"
+    assert merged.ckpt_path == "/x.pt"
+
+
+def test_to_plain_roundtrip():
+    cfg = compose(CONF, "train")
+    plain = to_plain(cfg)
+    assert isinstance(plain, dict)
+    assert plain["task"]["model"]["n_transformer_enc_heads"] == 8
+
+
+def test_instantiate_vocab():
+    from wav2vecsegmenter_tpu.config import instantiate
+
+    cfg = compose(CONF, "train", overrides=["task=arseg"])
+    vocab = instantiate(cfg.task.vocab)
+    assert vocab.vocab_size == 4
+    assert vocab.boundary_token_id == 0
+    assert vocab.pad_token_id == 2
