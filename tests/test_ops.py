@@ -1,0 +1,51 @@
+"""Pallas kernels vs XLA reference paths (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from wav2vecsegmenter_tpu.ops.attention import attention_pallas, attention_xla
+from wav2vecsegmenter_tpu.ops.layernorm import layer_norm_pallas, layer_norm_xla
+
+
+def test_layer_norm_pallas_matches_xla(rng):
+    x = jnp.asarray(rng.randn(3, 137, 256).astype(np.float32))
+    scale = jnp.asarray(rng.randn(256).astype(np.float32))
+    bias = jnp.asarray(rng.randn(256).astype(np.float32))
+    want = layer_norm_xla(x, scale, bias)
+    with pltpu.force_tpu_interpret_mode():
+        got = layer_norm_pallas(x, scale, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_attention_pallas_matches_xla(rng):
+    b, h, t, d = 2, 4, 130, 64
+    q = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+    lens = np.array([130, 77])
+    mask = jnp.asarray(np.arange(t)[None, :] < lens[:, None])
+    scale = d ** -0.5
+    want = attention_xla(q, k, v, mask, scale)
+    with pltpu.force_tpu_interpret_mode():
+        got = attention_pallas(q, k, v, mask, scale)
+    # compare at valid query positions only
+    w = np.asarray(want)
+    g = np.asarray(got)
+    m = np.asarray(mask)
+    for i in range(b):
+        np.testing.assert_allclose(g[i, :, m[i]], w[i, :, m[i]], atol=2e-5)
+
+
+def test_attention_no_mask(rng):
+    b, h, t, d = 1, 2, 64, 32
+    q = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+    want = attention_xla(q, k, v, None, d ** -0.5)
+    with pltpu.force_tpu_interpret_mode():
+        got = attention_pallas(q, k, v, None, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -1,0 +1,185 @@
+"""Autoregressive segmenter: wav2vec2 encoder + transformer decoder over a
+4-token vocabulary.
+
+Equivalent of reference ``AutoRegSegmenter``/``TransformerEncoderDecoder``
+(lib/models.py:11-140): 1 pre-LN encoder layer + 4 pre-LN decoder layers,
+scaled token embedding (lib/models.py:162-169); positional encoding is
+intentionally absent, matching the reference's ``[TODO] PE``
+(lib/models.py:127-128).  The decoder LayerNorm after the encoder and before
+the output projection is the *same* module (lib/models.py:101,123,138) —
+replicated via a shared parameter group.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention
+from ..ops.layernorm import layer_norm
+from .sfc import _linear, _ln
+from .wav2vec2 import config_for, init_wav2vec2_params, wav2vec2_forward
+
+_EPS = 1e-5
+
+
+def _attn_block(p, x_q, x_kv, n_heads, key_mask=None, causal=False,
+                compute_dtype=jnp.float32):
+    b, tq, d = x_q.shape
+    dh = d // n_heads
+
+    def proj(pp, xx):
+        return xx @ pp["w"].astype(compute_dtype) + pp["b"].astype(compute_dtype)
+
+    q = proj(p["q"], x_q).reshape(b, tq, n_heads, dh).transpose(0, 2, 1, 3)
+    k = proj(p["k"], x_kv).reshape(b, -1, n_heads, dh).transpose(0, 2, 1, 3)
+    v = proj(p["v"], x_kv).reshape(b, -1, n_heads, dh).transpose(0, 2, 1, 3)
+    if causal:
+        # fused kernel handles key-padding only; causal decode uses XLA path
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q * dh ** -0.5, k)
+        tk = scores.shape[-1]
+        cmask = jnp.tril(jnp.ones((tq, tk), bool))
+        scores = jnp.where(cmask[None, None], scores, -1e30)
+        if key_mask is not None:
+            scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
+        out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), v)
+    else:
+        out = attention(q, k, v, key_mask, scale=dh ** -0.5)
+    out = out.transpose(0, 2, 1, 3).reshape(b, tq, d)
+    return proj(p["o"], out)
+
+
+def _ffn_block(p, x, compute_dtype=jnp.float32):
+    f = x @ p["w1"]["w"].astype(compute_dtype) + p["w1"]["b"].astype(compute_dtype)
+    f = jax.nn.gelu(f, approximate=False)
+    return f @ p["w2"]["w"].astype(compute_dtype) + p["w2"]["b"].astype(compute_dtype)
+
+
+class AutoRegSegmenterImpl:
+    def __init__(
+        self,
+        wav2vec_model_name: str = "facebook/wav2vec2-xls-r-300m",
+        wav2vec_keep_layers: int = 15,
+        finetune_wav2vec: bool = False,
+        wav2vec_ft_layers: int | None = None,
+        finetune_w2v_feat_enc: bool = False,
+        n_transformer_enc_layers: int = 1,
+        n_transformer_enc_heads: int = 8,
+        n_transformer_dec_layers: int = 4,
+        n_transformer_dec_heads: int = 8,
+        init_dropout: float = 0.1,
+        vocab_size: int = 4,
+    ) -> None:
+        self.w2v_cfg = config_for(wav2vec_model_name, wav2vec_keep_layers)
+        self.finetune_wav2vec = bool(finetune_wav2vec)
+        self.n_enc_layers = n_transformer_enc_layers
+        self.n_enc_heads = n_transformer_enc_heads
+        self.n_dec_layers = n_transformer_dec_layers
+        self.n_dec_heads = n_transformer_dec_heads
+        self.init_dropout = init_dropout
+        self.vocab_size = vocab_size
+        self.d_model = self.w2v_cfg.hidden_size
+
+    def init(self, rng: jax.Array) -> dict:
+        keys = jax.random.split(rng, 6)
+        d, f = self.d_model, 2048
+
+        def enc_layer(i):
+            ks = jax.random.split(jax.random.fold_in(keys[1], i), 6)
+            return {
+                "ln1": _ln(d),
+                "attn": {"q": _linear(ks[0], d, d), "k": _linear(ks[1], d, d),
+                         "v": _linear(ks[2], d, d), "o": _linear(ks[3], d, d)},
+                "ln2": _ln(d),
+                "ffn": {"w1": _linear(ks[4], d, f), "w2": _linear(ks[5], f, d)},
+            }
+
+        def dec_layer(i):
+            ks = jax.random.split(jax.random.fold_in(keys[2], i), 10)
+            return {
+                "ln1": _ln(d),
+                "self_attn": {"q": _linear(ks[0], d, d), "k": _linear(ks[1], d, d),
+                              "v": _linear(ks[2], d, d), "o": _linear(ks[3], d, d)},
+                "ln2": _ln(d),
+                "cross_attn": {"q": _linear(ks[4], d, d), "k": _linear(ks[5], d, d),
+                               "v": _linear(ks[6], d, d), "o": _linear(ks[7], d, d)},
+                "ln3": _ln(d),
+                "ffn": {"w1": _linear(ks[8], d, f), "w2": _linear(ks[9], f, d)},
+            }
+
+        enc = [enc_layer(i) for i in range(self.n_enc_layers)]
+        dec = [dec_layer(i) for i in range(self.n_dec_layers)]
+        return {
+            "wav2vec": init_wav2vec2_params(keys[0], self.w2v_cfg),
+            "seg": {
+                "encoder": jax.tree.map(lambda *xs: jnp.stack(xs), *enc),
+                "decoder": jax.tree.map(lambda *xs: jnp.stack(xs), *dec),
+                "tok_emb": jax.random.normal(
+                    keys[3], (self.vocab_size, d), jnp.float32),
+                "shared_ln": _ln(d),
+                "out": _linear(keys[4], d, self.vocab_size),
+            },
+        }
+
+    def apply(self, params, audio, in_lengths, target_in, src_mask, tgt_mask,
+              *, deterministic=True, rng=None, compute_dtype=jnp.float32):
+        """target_in [B, T_tgt] token ids; returns logits [B, T_tgt, V]."""
+        h, frame_mask = wav2vec2_forward(
+            params["wav2vec"], audio, in_lengths, self.w2v_cfg,
+            deterministic=deterministic, rng=rng, compute_dtype=compute_dtype,
+        )
+        seg = params["seg"]
+        x = h.astype(compute_dtype)
+
+        def enc_body(carry, layer):
+            hh = carry
+            hn = layer_norm(hh, layer["ln1"]["scale"], layer["ln1"]["bias"], _EPS)
+            hh = hh + _attn_block(layer["attn"], hn, hn, self.n_enc_heads,
+                                  frame_mask, compute_dtype=compute_dtype)
+            hn = layer_norm(hh, layer["ln2"]["scale"], layer["ln2"]["bias"], _EPS)
+            hh = hh + _ffn_block(layer["ffn"], hn, compute_dtype)
+            return hh, None
+
+        x, _ = jax.lax.scan(enc_body, x, seg["encoder"])
+        memory = layer_norm(x, seg["shared_ln"]["scale"],
+                            seg["shared_ln"]["bias"], _EPS)
+
+        emb = seg["tok_emb"][target_in] * math.sqrt(self.d_model)
+        y = emb.astype(compute_dtype)
+
+        def dec_body(carry, layer):
+            yy = carry
+            yn = layer_norm(yy, layer["ln1"]["scale"], layer["ln1"]["bias"], _EPS)
+            yy = yy + _attn_block(layer["self_attn"], yn, yn, self.n_dec_heads,
+                                  tgt_mask, causal=True,
+                                  compute_dtype=compute_dtype)
+            yn = layer_norm(yy, layer["ln2"]["scale"], layer["ln2"]["bias"], _EPS)
+            yy = yy + _attn_block(layer["cross_attn"], yn, memory,
+                                  self.n_dec_heads, frame_mask,
+                                  compute_dtype=compute_dtype)
+            yn = layer_norm(yy, layer["ln3"]["scale"], layer["ln3"]["bias"], _EPS)
+            yy = yy + _ffn_block(layer["ffn"], yn, compute_dtype)
+            return yy, None
+
+        y, _ = jax.lax.scan(dec_body, y, seg["decoder"])
+        y = layer_norm(y, seg["shared_ln"]["scale"], seg["shared_ln"]["bias"],
+                       _EPS)
+        logits = y @ seg["out"]["w"].astype(compute_dtype) + \
+            seg["out"]["b"].astype(compute_dtype)
+        return logits.astype(jnp.float32)
+
+    def trainable_mask(self, params):
+        flag = 1.0 if self.finetune_wav2vec else 0.0
+        return {
+            "wav2vec": jax.tree.map(
+                lambda p: jnp.full(p.shape, flag, jnp.float32),
+                params["wav2vec"]),
+            "seg": jax.tree.map(
+                lambda p: jnp.ones(p.shape, jnp.float32), params["seg"]),
+        }
+
+    @property
+    def save_full_state(self) -> bool:
+        return self.finetune_wav2vec

@@ -1,0 +1,402 @@
+"""wav2vec 2.0 encoder, TPU-native.
+
+Re-implements the architecture consumed by the reference through HF
+``Wav2Vec2Model`` (reference lib/models.py:322-368): 7-layer strided 1D-conv
+feature extractor (320x downsample), feature projection, grouped
+weight-normalized positional conv embedding, and a pre-LN ("stable layer
+norm") transformer stack truncated to ``keep_layers`` with the final encoder
+LayerNorm removed (lib/models.py:340-349) — the classifier re-normalizes.
+
+Design notes (TPU-first, not a port):
+  * params are plain pytrees; transformer layers are *stacked* along a
+    leading axis and executed with ``lax.scan`` — one compiled layer body
+    regardless of depth, weights stream HBM->VMEM per layer;
+  * attention and LayerNorm dispatch to fused Pallas kernels on TPU
+    (ops/attention.py, ops/layernorm.py) with XLA fallbacks elsewhere;
+  * everything is static-shape: windows arrive padded to a fixed sample
+    count, masking carries the true lengths (HF attention-mask semantics);
+  * FFN adapters (reference lib/models.py:371-428) are represented uniformly
+    in the stacked params with a per-layer on/off flag, so the same scan body
+    serves the adapter and plain variants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import attention
+from ..ops.layernorm import layer_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class Wav2Vec2Config:
+    hidden_size: int = 1024
+    num_layers: int = 24            # transformer layers kept (post-truncation)
+    num_heads: int = 16
+    ffn_dim: int = 4096
+    conv_dim: tuple = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: tuple = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: tuple = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = True
+    feat_extract_norm: str = "layer"    # 'layer' (large/xls-r) | 'group' (base)
+    do_stable_layer_norm: bool = True
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    feat_proj_dropout: float = 0.1
+    layer_norm_eps: float = 1e-5
+    # FFN parallel adapters (reference ScaledParallelAdapter, bottleneck 512,
+    # scale 4 — lib/models.py:400-402)
+    ffn_adapter: bool = False
+    adapter_dim: int = 512
+    adapter_scale: float = 4.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+# architecture presets for the checkpoints the reference uses
+# (full_num_layers is the pre-truncation depth, for checkpoint conversion)
+PRESETS: dict[str, dict] = {
+    "facebook/wav2vec2-xls-r-300m": dict(
+        hidden_size=1024, num_layers=24, num_heads=16, ffn_dim=4096,
+        feat_extract_norm="layer", do_stable_layer_norm=True, conv_bias=True,
+        feat_proj_dropout=0.1, activation_dropout=0.0,
+    ),
+    "facebook/wav2vec2-large-960h-lv60-self": dict(
+        hidden_size=1024, num_layers=24, num_heads=16, ffn_dim=4096,
+        feat_extract_norm="layer", do_stable_layer_norm=True, conv_bias=True,
+        feat_proj_dropout=0.1, activation_dropout=0.1,
+    ),
+    "facebook/wav2vec2-base-960h": dict(
+        hidden_size=768, num_layers=12, num_heads=12, ffn_dim=3072,
+        feat_extract_norm="group", do_stable_layer_norm=False, conv_bias=False,
+        feat_proj_dropout=0.1, activation_dropout=0.1,
+    ),
+    "facebook/wav2vec2-base": dict(
+        hidden_size=768, num_layers=12, num_heads=12, ffn_dim=3072,
+        feat_extract_norm="group", do_stable_layer_norm=False, conv_bias=False,
+        feat_proj_dropout=0.1, activation_dropout=0.1,
+    ),
+}
+
+
+def config_for(model_name: str, keep_layers: int | None = None,
+               ffn_adapter: bool = False) -> Wav2Vec2Config:
+    preset = PRESETS.get(model_name)
+    if preset is None:
+        preset = PRESETS["facebook/wav2vec2-xls-r-300m"]
+    kwargs = dict(preset)
+    if keep_layers is not None:
+        kwargs["num_layers"] = min(keep_layers, kwargs["num_layers"])
+    kwargs["ffn_adapter"] = ffn_adapter
+    return Wav2Vec2Config(**kwargs)
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+def _linear(rng, d_in, d_out, scale=None):
+    if scale is None:
+        scale = 1.0 / math.sqrt(d_in)
+    kw, kb = jax.random.split(rng)
+    return {
+        "w": jax.random.uniform(kw, (d_in, d_out), jnp.float32, -scale, scale),
+        "b": jax.random.uniform(kb, (d_out,), jnp.float32, -scale, scale),
+    }
+
+
+def _ln(d):
+    return {"scale": jnp.ones((d,), jnp.float32),
+            "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def init_wav2vec2_params(rng: jax.Array, cfg: Wav2Vec2Config) -> dict:
+    keys = jax.random.split(rng, 16)
+    params: dict = {}
+
+    # feature extractor
+    convs = []
+    in_dim = 1
+    for i, (out_dim, k) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel)):
+        kk = jax.random.fold_in(keys[0], i)
+        scale = 1.0 / math.sqrt(in_dim * k)
+        layer = {
+            "w": jax.random.uniform(kk, (k, in_dim, out_dim), jnp.float32,
+                                    -scale, scale),
+        }
+        if cfg.conv_bias:
+            layer["b"] = jnp.zeros((out_dim,), jnp.float32)
+        if cfg.feat_extract_norm == "layer":
+            layer["ln"] = _ln(out_dim)
+        elif i == 0:  # group-norm variant: GroupNorm on layer 0 only
+            layer["gn"] = _ln(out_dim)
+        convs.append(layer)
+        in_dim = out_dim
+    params["feature_extractor"] = {"convs": convs}
+
+    # feature projection
+    params["feature_projection"] = {
+        "ln": _ln(cfg.conv_dim[-1]),
+        "proj": _linear(keys[1], cfg.conv_dim[-1], cfg.hidden_size),
+    }
+
+    # positional conv (weight-normalized grouped conv, torch layout
+    # w_v [out, in/groups, k], w_g [1, 1, k])
+    h = cfg.hidden_size
+    kpe = cfg.num_conv_pos_embeddings
+    in_pg = h // cfg.num_conv_pos_embedding_groups
+    wv = jax.random.normal(keys[2], (h, in_pg, kpe), jnp.float32) * 0.02
+    params["pos_conv"] = {
+        "w_v": wv,
+        "w_g": jnp.linalg.norm(wv.reshape(-1, kpe), axis=0).reshape(1, 1, kpe),
+        "b": jnp.zeros((h,), jnp.float32),
+    }
+    if not cfg.do_stable_layer_norm:
+        params["encoder_pre_ln"] = _ln(h)
+
+    # transformer layers, stacked [L, ...]
+    def one_layer(i):
+        kl = jax.random.fold_in(keys[3], i)
+        ks = jax.random.split(kl, 8)
+        layer = {
+            "ln1": _ln(h),
+            "attn": {
+                "q": _linear(ks[0], h, h),
+                "k": _linear(ks[1], h, h),
+                "v": _linear(ks[2], h, h),
+                "o": _linear(ks[3], h, h),
+            },
+            "ln2": _ln(h),
+            "ffn": {
+                "w1": _linear(ks[4], h, cfg.ffn_dim),
+                "w2": _linear(ks[5], cfg.ffn_dim, h),
+            },
+        }
+        if cfg.ffn_adapter:
+            layer["adapter"] = {
+                "down": _linear(ks[6], h, cfg.adapter_dim),
+                "up": _linear(ks[7], cfg.adapter_dim, h),
+                "flag": jnp.zeros((), jnp.float32),
+            }
+        return layer
+
+    layers = [one_layer(i) for i in range(cfg.num_layers)]
+    params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    return params
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _dropout(x, rate, deterministic, rng):
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0)
+
+
+def feature_extractor(params: dict, audio: jax.Array,
+                      cfg: Wav2Vec2Config,
+                      compute_dtype=jnp.float32) -> jax.Array:
+    """audio [B, L] -> features [B, T, conv_dim[-1]] (HF conv stack)."""
+    x = audio[:, :, None].astype(compute_dtype)  # [B, L, 1]
+    for i, layer in enumerate(params["feature_extractor"]["convs"]):
+        w = layer["w"].astype(compute_dtype)
+        x = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=(cfg.conv_stride[i],),
+            padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype)
+        if "b" in layer:
+            x = x + layer["b"].astype(compute_dtype)
+        if "ln" in layer:
+            x = layer_norm(x, layer["ln"]["scale"], layer["ln"]["bias"],
+                           cfg.layer_norm_eps)
+        elif "gn" in layer:
+            # GroupNorm with groups == channels: normalize each channel over
+            # time (biased variance), per HF Wav2Vec2GroupNormConvLayer
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=1, keepdims=True)
+            var = jnp.mean(jnp.square(x32 - mean), axis=1, keepdims=True)
+            x = ((x32 - mean) * jax.lax.rsqrt(var + cfg.layer_norm_eps)
+                 * layer["gn"]["scale"] + layer["gn"]["bias"]).astype(x.dtype)
+        x = _gelu(x)
+    return x
+
+
+def _pos_conv_weight(params: dict) -> jax.Array:
+    """Weight-norm reconstruction: w = g * v / ||v|| with the norm over
+    (out, in/groups) per kernel position (torch weight_norm dim=2)."""
+    wv = params["w_v"]
+    wg = params["w_g"]
+    norm = jnp.sqrt(jnp.sum(jnp.square(wv), axis=(0, 1), keepdims=True))
+    return wg * wv / norm
+
+
+def positional_conv(params: dict, x: jax.Array, cfg: Wav2Vec2Config,
+                    compute_dtype=jnp.float32) -> jax.Array:
+    """Grouped conv positional embedding [B, T, H] -> [B, T, H]."""
+    w = _pos_conv_weight(params["pos_conv"])  # [out, in/groups, k] torch layout
+    w = jnp.transpose(w, (2, 1, 0)).astype(compute_dtype)  # [k, in/groups, out]
+    pad = cfg.num_conv_pos_embeddings // 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), w,
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=cfg.num_conv_pos_embedding_groups,
+        preferred_element_type=jnp.float32,
+    ).astype(compute_dtype)
+    y = y + params["pos_conv"]["b"].astype(compute_dtype)
+    if cfg.num_conv_pos_embeddings % 2 == 0:  # even kernel: drop last step
+        y = y[:, :-1, :]
+    return _gelu(y)
+
+
+def _mha(layer_attn: dict, x: jax.Array, key_mask: jax.Array | None,
+         num_heads: int, deterministic: bool, rng, attn_dropout: float,
+         compute_dtype) -> jax.Array:
+    b, t, h = x.shape
+    d = h // num_heads
+    xc = x.astype(compute_dtype)
+
+    def proj(p):
+        return (xc @ p["w"].astype(compute_dtype) + p["b"].astype(compute_dtype))
+
+    q = proj(layer_attn["q"]).reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
+    k = proj(layer_attn["k"]).reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
+    v = proj(layer_attn["v"]).reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
+    out = attention(q, k, v, key_mask, scale=d ** -0.5)
+    # (attention-prob dropout omitted under bf16 fused kernel; applied only
+    # on the xla training path via attn_dropout on outputs is NOT equivalent,
+    # so we skip prob-dropout entirely — see train docs.)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, h)
+    o = layer_attn["o"]
+    return out @ o["w"].astype(compute_dtype) + o["b"].astype(compute_dtype)
+
+
+def encoder(params: dict, x: jax.Array, frame_mask: jax.Array,
+            cfg: Wav2Vec2Config, *, deterministic=True, rng=None,
+            compute_dtype=jnp.float32) -> jax.Array:
+    """Transformer encoder over extracted features.
+
+    x [B, T, H], frame_mask [B, T] bool.  Final encoder LayerNorm is NOT
+    applied (truncation semantics of reference lib/models.py:347-349).
+    """
+    eps = cfg.layer_norm_eps
+    x = jnp.where(frame_mask[:, :, None], x, 0)
+    x = x + positional_conv(params, x, cfg, compute_dtype)
+    if not cfg.do_stable_layer_norm:
+        x = layer_norm(x, params["encoder_pre_ln"]["scale"],
+                       params["encoder_pre_ln"]["bias"], eps)
+    if not deterministic and rng is not None:
+        rng, sub = jax.random.split(rng)
+        x = _dropout(x, cfg.hidden_dropout, deterministic, sub)
+
+    def layer_body(carry, scanned):
+        h, i = carry
+        layer, = scanned,
+        lrng = None if rng is None else jax.random.fold_in(rng, i)
+        rngs = (jax.random.split(lrng, 4) if lrng is not None else [None] * 4)
+
+        if cfg.do_stable_layer_norm:
+            # pre-LN: h += attn(LN1(h)); h += ffn(LN2(h))
+            hn = layer_norm(h, layer["ln1"]["scale"], layer["ln1"]["bias"], eps)
+            a = _mha(layer["attn"], hn, frame_mask, cfg.num_heads,
+                     deterministic, rngs[0], cfg.attention_dropout,
+                     compute_dtype)
+            a = _dropout(a, cfg.hidden_dropout, deterministic, rngs[1])
+            h = h + a
+            hn = layer_norm(h, layer["ln2"]["scale"], layer["ln2"]["bias"], eps)
+            f = hn @ layer["ffn"]["w1"]["w"].astype(compute_dtype) + \
+                layer["ffn"]["w1"]["b"].astype(compute_dtype)
+            f = _gelu(f)
+            f = _dropout(f, cfg.activation_dropout, deterministic, rngs[2])
+            f = f @ layer["ffn"]["w2"]["w"].astype(compute_dtype) + \
+                layer["ffn"]["w2"]["b"].astype(compute_dtype)
+            f = _dropout(f, cfg.hidden_dropout, deterministic, rngs[3])
+            if "adapter" in layer:
+                ad = layer["adapter"]
+                a_out = jax.nn.relu(
+                    hn @ ad["down"]["w"].astype(compute_dtype)
+                    + ad["down"]["b"].astype(compute_dtype))
+                a_out = (a_out @ ad["up"]["w"].astype(compute_dtype)
+                         + ad["up"]["b"].astype(compute_dtype))
+                f = f + ad["flag"] * cfg.adapter_scale * a_out
+            h = h + f
+        else:
+            # post-LN: h = LN1(h + attn(h)); h = LN2(h + ffn(h))
+            a = _mha(layer["attn"], h, frame_mask, cfg.num_heads,
+                     deterministic, rngs[0], cfg.attention_dropout,
+                     compute_dtype)
+            a = _dropout(a, cfg.hidden_dropout, deterministic, rngs[1])
+            h = layer_norm(h + a, layer["ln1"]["scale"], layer["ln1"]["bias"],
+                           eps)
+            f = h @ layer["ffn"]["w1"]["w"].astype(compute_dtype) + \
+                layer["ffn"]["w1"]["b"].astype(compute_dtype)
+            f = _gelu(f)
+            f = _dropout(f, cfg.activation_dropout, deterministic, rngs[2])
+            f = f @ layer["ffn"]["w2"]["w"].astype(compute_dtype) + \
+                layer["ffn"]["w2"]["b"].astype(compute_dtype)
+            f = _dropout(f, cfg.hidden_dropout, deterministic, rngs[3])
+            h = layer_norm(h + f, layer["ln2"]["scale"], layer["ln2"]["bias"],
+                           eps)
+        return (h, i + 1), None
+
+    (x, _), _ = jax.lax.scan(layer_body, (x.astype(compute_dtype), 0),
+                             params["layers"])
+    return x
+
+
+def wav2vec2_forward(
+    params: dict,
+    audio: jax.Array,        # [B, L] float32, normalized
+    in_lengths: jax.Array,   # [B] int32, valid samples per row
+    cfg: Wav2Vec2Config,
+    *,
+    deterministic: bool = True,
+    rng: jax.Array | None = None,
+    compute_dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Full encoder: returns (hidden [B, T, H] float32, frame_mask [B, T])."""
+    feats = feature_extractor(params, audio, cfg, compute_dtype)
+    t = feats.shape[1]
+
+    # frame lengths via the exact conv arithmetic (HF
+    # _get_feat_extract_output_lengths)
+    fl = in_lengths
+    for kk, ss in zip(cfg.conv_kernel, cfg.conv_stride):
+        fl = (fl - kk) // ss + 1
+    frame_mask = jnp.arange(t)[None, :] < fl[:, None]
+
+    fp = params["feature_projection"]
+    feats = layer_norm(feats, fp["ln"]["scale"], fp["ln"]["bias"],
+                       cfg.layer_norm_eps)
+    x = feats @ fp["proj"]["w"].astype(compute_dtype) + \
+        fp["proj"]["b"].astype(compute_dtype)
+    if not deterministic and rng is not None:
+        rng, sub = jax.random.split(rng)
+        x = _dropout(x, cfg.feat_proj_dropout, deterministic, sub)
+
+    h = encoder(params, x, frame_mask, cfg, deterministic=deterministic,
+                rng=rng, compute_dtype=compute_dtype)
+    return h.astype(jnp.float32), frame_mask
