@@ -1,0 +1,128 @@
+"""End-to-end smoke: synthetic wav -> segment CLI -> valid custom_segments.yaml."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+
+from wav2vecsegmenter_tpu.checkpoints.io import save_orbax
+
+from .helpers import make_speechlike_wav, tiny_shas
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("e2e")
+    wav_dir = ws / "wav"
+    txt_dir = ws / "txt"
+    wav_dir.mkdir()
+    txt_dir.mkdir()
+    make_speechlike_wav(wav_dir / "talk1.wav", duration_secs=65.0, seed=0)
+    make_speechlike_wav(wav_dir / "talk2.wav", duration_secs=41.2, seed=1)
+    orig = [
+        {"duration": 65.0, "offset": 0.0, "speaker_id": "NA", "wav": "talk1.wav"},
+        {"duration": 41.2, "offset": 0.0, "speaker_id": "NA", "wav": "talk2.wav"},
+    ]
+    with open(txt_dir / "orig.yaml", "w") as f:
+        yaml.dump(orig, f)
+
+    # tiny model checkpoint (orbax, full layout since params include wav2vec)
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    ckpt = ws / "ckpt"
+    save_orbax(ckpt, params)
+
+    # a "training run" config carrying the task group (reference merges the
+    # training config at inference, segment.py:161-163)
+    from wav2vecsegmenter_tpu.config import compose, save_config
+
+    train_cfg = compose(Path(__file__).parents[1] / "conf", "train")
+    save_config(train_cfg, ws / "train_config.yaml")
+    return ws
+
+
+def _run_segment(workspace, out_name, extra_overrides):
+    from wav2vecsegmenter_tpu.cli.segment import main
+
+    out_dir = workspace / out_name
+    argv = [
+        f"ckpt_path={workspace}/ckpt",
+        f"config_path={workspace}/train_config.yaml",
+        f"output_dir={out_dir}",
+        f"infer_data.wav_dir={workspace}/wav",
+        f"infer_data.orig_seg_yaml={workspace}/txt/orig.yaml",
+        "task.model.wav2vec_keep_layers=2",
+        "task.model.n_transformer_enc_heads=4",
+        "batch_size=3",
+        "runtime.kernels=xla",
+        "runtime.compute_dtype=float32",
+        "+_tiny_test_model=true",
+        *extra_overrides,
+    ]
+    return main(argv), out_dir
+
+
+@pytest.fixture(scope="module", autouse=True)
+def patch_tiny_model():
+    """Make the registry build the tiny test architecture."""
+    from wav2vecsegmenter_tpu.config import registry
+
+    orig = registry._ALIASES["lib.models.SHAS"]
+
+    def build_tiny(**kwargs):
+        kwargs.pop("wav2vec_model_name", None)
+        kwargs.pop("wav2vec_keep_layers", None)
+        kwargs.pop("n_transformer_enc_layers", None)
+        kwargs.pop("init_dropout", None)
+        kwargs.pop("finetune_wav2vec", None)
+        kwargs.pop("wav2vec_ft_layers", None)
+        kwargs.pop("finetune_w2v_feat_enc", None)
+        kwargs.pop("finetune_w2v_ffn", None)
+        kwargs.pop("ffn_adapter", None)
+        kwargs.pop("n_transformer_enc_heads", None)
+        return tiny_shas()
+
+    registry.register("lib.models.SHAS", "tests.helpers:_tiny_builder")
+    import tests.helpers as helpers
+
+    helpers._tiny_builder = build_tiny
+    yield
+    registry._ALIASES["lib.models.SHAS"] = orig
+
+
+@pytest.mark.parametrize(
+    "algo_overrides",
+    [
+        ["algorithm=dac", "algorithm.max_segment_length=10"],
+        ["algorithm=pthr"],
+        ["algorithm=strm"],
+    ],
+)
+def test_segment_cli_end_to_end(workspace, algo_overrides):
+    name = "out_" + algo_overrides[0].split("=")[1]
+    yaml_content, out_dir = _run_segment(workspace, name, algo_overrides)
+
+    saved = yaml.safe_load(open(out_dir / "custom_segments.yaml"))
+    assert saved == yaml.safe_load(
+        yaml.dump(yaml_content)
+    )
+    assert len(saved) > 0
+    for row in saved:
+        assert set(row) == {"duration", "offset", "rW", "uW", "speaker_id", "wav"}
+        assert row["wav"] in ("talk1.wav", "talk2.wav")
+        assert row["offset"] >= 0
+        assert row["duration"] > 0
+    # offsets stay within each talk
+    t1 = [r for r in saved if r["wav"] == "talk1.wav"]
+    assert all(r["offset"] + r["duration"] <= 65.0 + 0.5 for r in t1)
+
+
+def test_multipass_inference_averaging(workspace):
+    yaml_content, _ = _run_segment(
+        workspace, "out_multipass", ["algorithm=pthr", "inference_times=2"]
+    )
+    assert len(yaml_content) > 0

@@ -1,0 +1,109 @@
+"""Checkpoint I/O: Orbax for native training state, torch .pt ingestion for
+reference checkpoints, and HF-dir loading for pretrained wav2vec2 weights.
+
+Layouts follow the reference contract (train.py:596-613):
+  * ``finetune_wav2vec=True``  -> full model state;
+  * otherwise                  -> seg-head-only state; the wav2vec2 weights
+    are re-materialized from the pretrained source at load time
+    (inference.py:51-54, segment.py:48-51).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..models.wav2vec2 import Wav2Vec2Config
+from .torch_convert import (
+    convert_hf_wav2vec2,
+    convert_reference_checkpoint,
+    is_full_layout,
+    load_hf_pretrained_dir,
+    load_torch_state_dict,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def _hf_local_snapshot(model_name: str) -> Path | None:
+    """Locate a locally cached/downloaded HF model dir (no network)."""
+    candidates = []
+    hf_home = os.environ.get("HF_HOME", os.path.expanduser("~/.cache/huggingface"))
+    repo_dir = Path(hf_home) / "hub" / ("models--" + model_name.replace("/", "--"))
+    if repo_dir.exists():
+        snaps = sorted((repo_dir / "snapshots").glob("*"))
+        candidates += snaps
+    candidates.append(Path(model_name))  # explicit local dir
+    for c in candidates:
+        if c.is_dir() and (
+            (c / "pytorch_model.bin").exists() or (c / "model.safetensors").exists()
+        ):
+            return c
+    return None
+
+
+def load_wav2vec2_pretrained(model_name: str, cfg: Wav2Vec2Config,
+                             allow_random: bool = False,
+                             rng_seed: int = 0) -> dict:
+    snap = _hf_local_snapshot(model_name)
+    if snap is not None:
+        logger.info("Loading wav2vec2 weights from %s", snap)
+        return load_hf_pretrained_dir(snap, cfg)
+    if allow_random:
+        logger.warning(
+            "No local weights for %s — using RANDOM wav2vec2 init "
+            "(allow_random=True).", model_name)
+        from ..models.wav2vec2 import init_wav2vec2_params
+
+        return init_wav2vec2_params(jax.random.PRNGKey(rng_seed), cfg)
+    raise FileNotFoundError(
+        f"No local HF weights found for '{model_name}'. Place the model under "
+        f"$HF_HOME/hub or pass a local directory path."
+    )
+
+
+def load_model_checkpoint(model, ckpt_path: str | Path,
+                          allow_random_wav2vec: bool = False) -> dict:
+    """Load params for ``model`` (a SHAS-family spec) from either a torch .pt
+    (reference format, both layouts) or an Orbax directory."""
+    ckpt_path = Path(ckpt_path)
+    if ckpt_path.is_dir():  # orbax
+        return restore_orbax(ckpt_path, model)
+
+    sd = load_torch_state_dict(ckpt_path)
+    if is_full_layout(sd):
+        return convert_reference_checkpoint(sd, model)
+    params = convert_reference_checkpoint(sd, model)  # {'seg': ...}
+    params["wav2vec"] = load_wav2vec2_pretrained(
+        model.wav2vec_model_name, model.w2v_cfg,
+        allow_random=allow_random_wav2vec,
+    )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Orbax
+# ---------------------------------------------------------------------------
+
+def save_orbax(path: str | Path, tree) -> None:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+
+
+def restore_orbax(path: str | Path, model=None, template=None):
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        if template is None and model is not None:
+            template = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
+        if template is not None:
+            return ckptr.restore(path, template)
+        return ckptr.restore(path)

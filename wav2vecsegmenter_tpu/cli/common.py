@@ -1,0 +1,178 @@
+"""Shared CLI plumbing: override parsing, logging init, model building, and
+the wav-dir -> custom_segments.yaml generation loop shared by segment.py /
+inference.py / inference_st_pipe.py (reference segment.py:26-131,
+inference.py:26-131, train.py:36-212)."""
+
+from __future__ import annotations
+
+import logging
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from ..algorithms import (
+    pdac,
+    pdac_with_logits,
+    pthr,
+    strm,
+    update_yaml_content,
+)
+from ..checkpoints.io import load_model_checkpoint
+from ..config import Config, compose, instantiate, to_plain, to_yaml
+from ..data.collate import out_len_for
+from ..data.datasets import FixedSegmentationDatasetNoTarget
+from ..data.loader import BatchIterator
+from ..infer.pipeline import WindowInference, infer_talk
+from ..ops.backend import set_backend
+
+logger = logging.getLogger("wav2vecsegmenter_tpu")
+
+
+def parse_overrides(argv: list[str] | None = None) -> list[str]:
+    argv = sys.argv[1:] if argv is None else argv
+    return [a for a in argv if "=" in a and not a.startswith("--")]
+
+
+def init_logging(config: Config, logfile: str = "log") -> None:
+    """Run-dir logging + config/git dump (reference init, segment.py:134-156)."""
+    handlers = [logging.StreamHandler()]
+    try:
+        handlers.append(logging.FileHandler(logfile))
+    except OSError:
+        pass
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(levelname)s %(asctime)s] %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+    logger.info("Host: [%s]", os.uname()[1])
+    git = subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True, check=False
+    )
+    if git.returncode == 0:
+        logger.info("Git commit: %s", git.stdout.strip())
+    logger.info("Command: %s", " ".join(sys.argv))
+    logger.info("Config:\n%s", to_yaml(config))
+
+
+def apply_runtime(config: Config):
+    """Apply the TPU runtime block; returns the compute dtype."""
+    rt = config.get("runtime") or {}
+    set_backend(rt.get("kernels", "auto"))
+    dtype_name = rt.get("compute_dtype", "bfloat16")
+    import jax
+
+    if jax.default_backend() != "tpu" and dtype_name == "bfloat16":
+        # parity on CPU: bf16 off-TPU is slow and imprecise
+        dtype_name = "float32"
+    return jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+
+def build_model(config: Config):
+    """instantiate(config.task.model) with vocab_size wiring
+    (reference train.py:257-261, segment.py:33-43)."""
+    vocab = instantiate(config.task.vocab) if config.task.get("vocab") else None
+    model_node = dict(config.task.model)
+    if vocab is not None:
+        model_node["vocab_size"] = vocab.vocab_size
+    model = instantiate(Config(model_node))
+    return model, vocab
+
+
+def load_params(config: Config, model, ckpt_path: str):
+    allow_random = bool(config.get("allow_random_wav2vec", False))
+    return load_model_checkpoint(model, ckpt_path,
+                                 allow_random_wav2vec=allow_random)
+
+
+def run_algorithm(tag: str, algo_conf: dict, probs: np.ndarray,
+                  logits: np.ndarray, vocab):
+    """Algorithm dispatch (reference segment.py:107-119)."""
+    conf = dict(algo_conf)
+    conf.pop("tag", None)
+    if tag == "dac":
+        return pdac(probs, **conf)
+    if tag == "dac_logits":
+        return pdac_with_logits(probs, logits, vocab, **conf)
+    if tag == "strm":
+        return strm(probs, **conf)
+    if tag == "pthr":
+        return pthr(probs, **conf)
+    raise NotImplementedError(f"Unknown algorithm tag '{tag}'")
+
+
+def segment_wavs(
+    config: Config,
+    model,
+    params,
+    vocab,
+    wav_paths: list[Path],
+    compute_dtype,
+) -> list[dict]:
+    """The product loop: per wav, multi-pass sliding-window inference,
+    probability averaging, algorithm dispatch, yaml rows."""
+    from tqdm import tqdm
+
+    engine = WindowInference(
+        model, params, loss_tag=config.task.loss.tag,
+        compute_dtype=compute_dtype, vocab=vocab,
+    )
+    algo_conf = to_plain(config.algorithm)
+    tag = algo_conf.pop("tag")
+    inference_times = int(config.inference_times)
+
+    yaml_content: list[dict] = []
+    for wav_path in tqdm(wav_paths, desc="talks"):
+        dataset = FixedSegmentationDatasetNoTarget(
+            wav_path, config.inference_segment_length, inference_times
+        )
+        sgm_frame_probs = None
+        sgm_frame_logits = None
+        for it in range(inference_times):
+            dataset.fixed_length_segmentation(it)
+            batches = BatchIterator(
+                dataset, int(config.batch_size),
+                float(config.inference_segment_length),
+                shuffle=False,
+            )
+            probs, logits, _ = infer_talk(
+                engine, batches, dataset.duration_outframes
+            )
+            if sgm_frame_probs is None:
+                sgm_frame_probs, sgm_frame_logits = probs.copy(), logits.copy()
+            else:
+                sgm_frame_probs += probs
+                sgm_frame_logits += logits
+        sgm_frame_probs /= inference_times
+
+        segments = run_algorithm(tag, algo_conf, sgm_frame_probs,
+                                 sgm_frame_logits, vocab)
+        yaml_content = update_yaml_content(
+            yaml_content, segments, Path(wav_path).name
+        )
+    return yaml_content
+
+
+def wavs_from_yaml(config: Config) -> list[Path]:
+    """wav list grouped from the original segmentation yaml
+    (reference segment.py:67-72)."""
+    import itertools
+
+    wav_dir = Path(config.infer_data.wav_dir)
+    with open(config.infer_data.orig_seg_yaml) as f:
+        seg_yaml = yaml.safe_load(f)
+    return [
+        wav_dir / wav
+        for wav, _ in itertools.groupby(seg_yaml, key=lambda x: x["wav"])
+    ]
+
+
+def wavs_from_dir(config: Config) -> list[Path]:
+    """Sorted wav glob (reference train.py:62-63, inference_st_pipe)."""
+    return sorted(Path(config.infer_data.wav_dir).glob("*.wav"))

@@ -1,0 +1,92 @@
+"""Wav decoding with random-access window reads.
+
+Replaces the reference's torchaudio sox_io seek-reads
+(lib/dataset.py:248-250, 488-490, 659-663).  Backends:
+  * native C++ loader (native/audio, via ctypes) when built — releases the
+    GIL and serves the multi-threaded prefetcher;
+  * stdlib ``wave`` fallback — 16-bit PCM mono, which is what MuST-C ships.
+
+Samples are returned float32 in [-1, 1) (int16 / 32768, torchaudio's
+convention).
+"""
+
+from __future__ import annotations
+
+import wave
+from pathlib import Path
+
+import numpy as np
+
+from ..constants import INPUT_SAMPLE_RATE
+
+_native = None
+
+
+def _get_native():
+    global _native
+    if _native is None:
+        try:
+            from . import native_audio
+
+            _native = native_audio if native_audio.available() else False
+        except Exception:
+            _native = False
+    return _native
+
+
+def wav_info(path: str | Path) -> tuple[int, int, int]:
+    """(num_frames, sample_rate, channels)."""
+    nat = _get_native()
+    if nat:
+        return nat.wav_info(str(path))
+    with wave.open(str(path), "rb") as f:
+        return f.getnframes(), f.getframerate(), f.getnchannels()
+
+
+def read_wav_window(path: str | Path, offset: int = 0,
+                    num_frames: int | None = None) -> np.ndarray:
+    """Read ``num_frames`` samples starting at ``offset`` -> float32 [-1, 1)."""
+    nat = _get_native()
+    if nat:
+        return nat.read_window(str(path), int(offset),
+                               -1 if num_frames is None else int(num_frames))
+    with wave.open(str(path), "rb") as f:
+        n_channels = f.getnchannels()
+        sampwidth = f.getsampwidth()
+        total = f.getnframes()
+        if num_frames is None:
+            num_frames = total - offset
+        num_frames = max(0, min(num_frames, total - offset))
+        f.setpos(int(offset))
+        raw = f.readframes(int(num_frames))
+    if sampwidth == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sampwidth == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif sampwidth == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"Unsupported sample width {sampwidth} in {path}")
+    if n_channels > 1:
+        data = data.reshape(-1, n_channels).mean(axis=1)
+    return data
+
+
+def assert_sample_rate(path: str | Path) -> int:
+    """Sample-rate guard (reference lib/dataset.py:600-602)."""
+    n, sr, _ = wav_info(path)
+    assert sr == INPUT_SAMPLE_RATE, (
+        f"Audio needs to have sample rate of {INPUT_SAMPLE_RATE} (got {sr})"
+    )
+    return n
+
+
+def write_wav(path: str | Path, samples: np.ndarray,
+              sample_rate: int = INPUT_SAMPLE_RATE) -> None:
+    """Write mono float32 [-1,1] samples as 16-bit PCM (test fixtures)."""
+    pcm = np.clip(samples * 32768.0, -32768, 32767).astype("<i2")
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm.tobytes())

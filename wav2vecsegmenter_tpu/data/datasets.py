@@ -1,0 +1,195 @@
+"""Segmentation datasets: random training grids and fixed inference grids.
+
+TSV contracts follow the SHAS data prep the reference consumes
+(lib/dataset.py:36-41): ``talks.tsv`` with columns (id, path, total_frames),
+``segments.tsv`` with (talk_id, start, end) in input-space frames.  Target
+construction replicates lib/dataset.py:68-144 (per-talk binary frame vector
+-> per-window (start, end) spans in output space, with the overlap bump).
+
+Unlike the reference's torch Dataset/DataLoader pair, these are plain
+iterables that yield numpy examples; batching/normalization lives in
+collate.py and threading in loader.py.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from ..core.frames import (
+    inframes_to_outframes,
+    secs_to_inframes,
+)
+from ..core.windows import fixed_window_grid, random_window_grid
+from .audio import assert_sample_rate, read_wav_window, wav_info
+
+
+class SegmentationCorpus:
+    """talks + true segments for a split (base of both dataset flavors)."""
+
+    def __init__(self, talk_list: str, segments_list: str) -> None:
+        self.talks_df = pd.read_csv(talk_list, sep="\t", index_col=0)
+        self.segments_df = pd.read_csv(segments_list, sep="\t", index_col=0)
+
+    def talk_ids(self) -> list:
+        return self.talks_df["id"].tolist()
+
+    def talk_row(self, talk_id):
+        return self.talks_df.loc[self.talks_df["id"] == talk_id].iloc[0]
+
+    def talk_label_vector(self, talk_id) -> np.ndarray:
+        """Binary 1/0 per input-space frame: inside a true segment or not
+        (reference lib/dataset.py:83-87)."""
+        row = self.talk_row(talk_id)
+        labels = np.zeros(int(row["total_frames"]), dtype=np.uint8)
+        for _, sgm in self.segments_df.loc[
+            self.segments_df.talk_id == talk_id
+        ].iterrows():
+            labels[int(sgm.start) : int(sgm.end)] = 1
+        return labels
+
+
+def window_targets(labels_window: np.ndarray) -> list[tuple[int, int]]:
+    """True (start, end) spans of a window in OUTPUT space.
+
+    Replicates reference _get_targets_for_segment (lib/dataset.py:99-127)
+    including the +1 bump when a span's rounded start collides with the
+    previous span's end."""
+    lw = labels_window
+    change = list(np.where(lw[1:] != lw[:-1])[0] + 1)
+    targets: list[tuple[int, int]] = []
+    for s, e in zip([0] + change, change + [len(lw)]):
+        if lw[s] == 1:
+            so = int(inframes_to_outframes(s))
+            eo = int(inframes_to_outframes(e))
+            if targets and so <= targets[-1][1]:
+                so += 1
+            targets.append((so, eo))
+    return targets
+
+
+def construct_target(spans: list[tuple[int, int]], duration_inframes: int) -> np.ndarray:
+    """Window spans -> dense binary target in output space
+    (reference _construct_target, lib/dataset.py:129-144)."""
+    target_len = int(inframes_to_outframes(duration_inframes))
+    target = np.zeros(target_len, dtype=np.float32)
+    for s, e in spans:
+        target[s : min(e, target_len + 1)] = 1
+    return target
+
+
+class _GridDataset:
+    """Windows over a corpus with optional targets; yields numpy examples
+    (waveform, target|None, start_out, end_out)."""
+
+    def __init__(self, corpus: SegmentationCorpus):
+        self.corpus = corpus
+        # rows: (talk_id, path, start_in, end_in, spans)
+        self.rows: list = []
+        self.n_pos = 0
+        self.n_all = 0
+
+    def _add_talk_windows(self, talk_id, starts, ends) -> None:
+        row = self.corpus.talk_row(talk_id)
+        labels = self.corpus.talk_label_vector(talk_id)
+        for s, e in zip(starts, ends):
+            spans = window_targets(labels[s:e])
+            self.rows.append((talk_id, row["path"], int(s), int(e), spans))
+            self.n_pos += sum(ee - ss for ss, ee in spans)
+            self.n_all += int(inframes_to_outframes(e - s))
+
+    @property
+    def pos_class_percentage(self) -> float:
+        return self.n_pos / max(1, self.n_all)
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def __getitem__(self, idx: int):
+        talk_id, path, s, e, spans = self.rows[idx]
+        waveform = read_wav_window(path, s, e - s)
+        target = construct_target(spans, e - s)
+        start = int(inframes_to_outframes(s + 1e-6))
+        end = int(inframes_to_outframes(e + 1e-6))
+        return waveform, target, start, end
+
+
+class RandomSegmentationDataset(_GridDataset):
+    """Fresh random segmentation of every talk; regenerated each epoch
+    (reference lib/dataset.py:147-257)."""
+
+    def __init__(self, talk_list, segments_list, segment_length,
+                 seed: int | None = None):
+        super().__init__(SegmentationCorpus(talk_list, segments_list))
+        rng = np.random.RandomState(seed)
+        self.segment_length = segment_length
+        for _, talk in self.corpus.talks_df.iterrows():
+            starts, ends = random_window_grid(
+                int(talk["total_frames"]), segment_length, rng
+            )
+            self._add_talk_windows(talk["id"], starts, ends)
+
+
+class FixedSegmentationDataset(_GridDataset):
+    """Fixed-length segmentation of one talk (or all), per inference pass
+    (reference lib/dataset.py:335-497)."""
+
+    def __init__(self, talk_list, segments_list, segment_length,
+                 inference_times: int = 1):
+        super().__init__(SegmentationCorpus(talk_list, segments_list))
+        self.segment_length = segment_length
+        self.inference_times = inference_times
+        self.duration_outframes: int | None = None
+
+    def generate_fixed_segments(self, talk_id, iteration: int) -> None:
+        self.rows = []
+        row = self.corpus.talk_row(talk_id)
+        total = int(row["total_frames"])
+        self.duration_outframes = int(inframes_to_outframes(total))
+        starts, ends = fixed_window_grid(
+            total, self.segment_length, self.inference_times, iteration
+        )
+        self._add_talk_windows(talk_id, starts, ends)
+
+    def generate_fixed_segments_all_talks(self, iteration: int) -> None:
+        self.rows = []
+        for _, talk in self.corpus.talks_df.iterrows():
+            total = int(talk["total_frames"])
+            starts, ends = fixed_window_grid(
+                total, self.segment_length, self.inference_times, iteration
+            )
+            self._add_talk_windows(talk["id"], starts, ends)
+
+
+class FixedSegmentationDatasetNoTarget:
+    """Sliding windows over a single wav, no targets — the inference-product
+    path (reference lib/dataset.py:571-668)."""
+
+    def __init__(self, path_to_wav, segment_length: float = 20,
+                 inference_times: int = 1):
+        self.path_to_wav = str(path_to_wav)
+        self.segment_length = segment_length
+        self.inference_times = inference_times
+        self.duration_inframes = assert_sample_rate(path_to_wav)
+        self.duration_outframes = int(
+            inframes_to_outframes(self.duration_inframes))
+        self.starts = np.array([], int)
+        self.ends = np.array([], int)
+
+    def fixed_length_segmentation(self, iteration: int) -> None:
+        self.starts, self.ends = fixed_window_grid(
+            self.duration_inframes, self.segment_length,
+            self.inference_times, iteration,
+        )
+
+    def __len__(self) -> int:
+        return len(self.starts)
+
+    def __getitem__(self, idx: int):
+        s, e = int(self.starts[idx]), int(self.ends[idx])
+        waveform = read_wav_window(self.path_to_wav, s, e - s)
+        start = int(inframes_to_outframes(s + 1e-6))
+        end = int(inframes_to_outframes(e + 1e-6))
+        return waveform, None, start, end

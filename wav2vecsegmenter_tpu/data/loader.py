@@ -1,0 +1,195 @@
+"""Batched, thread-prefetched data loading.
+
+Replaces torch DataLoader worker processes (reference train.py:237,
+inference.py:83) with a thread pool: wav decoding is I/O + memcpy bound and
+releases the GIL in numpy, so threads overlap host decode with device compute
+(double buffering happens naturally through the prefetch queue + JAX's async
+dispatch).
+
+``RandomDataloaderGenerator`` / ``FixedDataloaderGenerator`` keep the
+reference's generator API (lib/dataset.py:671-813) so task configs
+instantiate them by `_target_` unchanged.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from ..core.frames import secs_to_inframes
+from .collate import Batch, collate, out_len_for
+from .datasets import (
+    FixedSegmentationDataset,
+    RandomSegmentationDataset,
+)
+
+
+def audio_bucket_lengths(segment_length_secs: float) -> tuple[int, int]:
+    """(standard, tail) static audio lengths: windows are at most
+    segment_length + 2 s after the reference's short-tail merge
+    (lib/dataset.py:632-636)."""
+    std = int(secs_to_inframes(segment_length_secs))
+    tail = int(secs_to_inframes(segment_length_secs + 2))
+    return std, tail
+
+
+class BatchIterator:
+    """Iterates a dataset in order (or shuffled), collating into static-shape
+    batches and prefetching ahead of the consumer."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        segment_length_secs: float,
+        shuffle: bool = False,
+        seed: int | None = None,
+        num_threads: int = 4,
+        prefetch: int = 2,
+        pad_token_id: float = 0.0,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.std_len, self.tail_len = audio_bucket_lengths(segment_length_secs)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.pad_token_id = pad_token_id
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _bucket_for(self, examples) -> tuple[int, int]:
+        max_len = max(len(ex[0]) for ex in examples)
+        audio_len = self.std_len if max_len <= self.std_len else self.tail_len
+        return audio_len, out_len_for(audio_len)
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed)
+            rng.shuffle(order)
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    idx_batches = [
+                        order[i : i + self.batch_size]
+                        for i in range(0, len(order), self.batch_size)
+                    ]
+                    # pipeline: submit example loads batch by batch
+                    for idx in idx_batches:
+                        if stop.is_set():
+                            return
+                        examples = list(pool.map(self.dataset.__getitem__, idx))
+                        audio_len, out_len = self._bucket_for(examples)
+                        batch = collate(
+                            examples, self.batch_size, audio_len, out_len,
+                            self.pad_token_id,
+                        )
+                        q.put(batch)
+            except BaseException as e:  # surface worker errors to consumer
+                q.put(e)
+                return
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+class RandomDataloaderGenerator:
+    """Per-epoch random resegmentation (reference lib/dataset.py:671-734)."""
+
+    def __init__(
+        self,
+        talk_list,
+        segments_list,
+        segment_length,
+        batch_size,
+        num_workers=4,
+        autoregression: bool = False,
+        vocab=None,
+        seed: int | None = None,
+    ) -> None:
+        self.talk_list = talk_list
+        self.segments_list = segments_list
+        self.segment_length = segment_length
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.autoregression = autoregression
+        self.vocab = vocab
+        self._rng = np.random.RandomState(seed)
+        self.dataset = None
+
+    def generate(self) -> BatchIterator:
+        seed = int(self._rng.randint(0, 2**31 - 1))
+        self.dataset = RandomSegmentationDataset(
+            self.talk_list, self.segments_list, self.segment_length, seed
+        )
+        return BatchIterator(
+            self.dataset,
+            self.batch_size,
+            self.segment_length,
+            shuffle=True,
+            seed=seed,
+            num_threads=self.num_workers,
+            pad_token_id=self.vocab.pad_token_id if self.vocab else 0.0,
+        )
+
+
+class FixedDataloaderGenerator:
+    """Fixed-grid eval/inference loaders (reference lib/dataset.py:737-813)."""
+
+    def __init__(
+        self,
+        talk_list,
+        segments_list,
+        segment_length,
+        batch_size,
+        num_workers=4,
+        inference_times: int = 1,
+        autoregression: bool = False,
+        vocab=None,
+    ) -> None:
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.segment_length = segment_length
+        self.vocab = vocab
+        self.dataset = FixedSegmentationDataset(
+            talk_list, segments_list, segment_length, inference_times
+        )
+
+    def generate(self, talk_id, iteration: int) -> BatchIterator:
+        if talk_id == "":
+            self.dataset.generate_fixed_segments_all_talks(iteration)
+        else:
+            self.dataset.generate_fixed_segments(talk_id, iteration)
+        return BatchIterator(
+            self.dataset,
+            self.batch_size,
+            self.segment_length,
+            shuffle=False,
+            num_threads=self.num_workers,
+            pad_token_id=self.vocab.pad_token_id if self.vocab else 0.0,
+        )
+
+    def get_talk_ids(self) -> list:
+        return self.dataset.corpus.talk_ids()

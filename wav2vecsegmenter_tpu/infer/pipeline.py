@@ -1,0 +1,128 @@
+"""Batched sliding-window inference: wav -> stitched full-talk frame probs.
+
+TPU execution model: every batch arrives at one of two static shapes
+(standard / tail audio bucket, data/loader.py), so the encoder compiles
+exactly twice per model; batches stream through the jitted forward while the
+host thread pool decodes and normalizes the next windows (JAX async dispatch
+gives the double buffering).  Per talk there is a single device->host
+transfer of [B, T] probabilities per batch, stitched into the talk array on
+host.
+
+Stitching/NaN-fill semantics replicate reference lib/evaluate.py:9-127.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.collate import Batch
+
+
+class WindowInference:
+    """Holds jitted forward functions keyed by batch shape."""
+
+    def __init__(self, model, params, loss_tag: str = "bce",
+                 compute_dtype=jnp.float32, vocab=None,
+                 donate: bool = False):
+        self.model = model
+        self.params = params
+        self.loss_tag = loss_tag
+        self.compute_dtype = compute_dtype
+        self.vocab = vocab
+        self._jitted: dict = {}
+
+    def _make_forward(self):
+        model = self.model
+        loss_tag = self.loss_tag
+        compute_dtype = self.compute_dtype
+
+        @jax.jit
+        def forward(params, audio, in_lengths, out_mask):
+            logits = model.apply(
+                params, audio, in_lengths, out_mask,
+                deterministic=True, compute_dtype=compute_dtype,
+            )
+            if isinstance(logits, tuple):  # SSL variant: (ctc, frame)
+                logits = logits[1]
+            if loss_tag == "bce":
+                probs = jax.nn.sigmoid(logits)
+            else:  # 'ce' / 'ssl': p(boundary token id 0)
+                probs = jax.nn.softmax(logits, axis=-1)[..., 0]
+            if logits.ndim == 2:
+                probs = jnp.where(out_mask, probs, 0.0)
+                logits_out = jnp.where(out_mask, logits, 0.0)
+            else:
+                probs = jnp.where(out_mask, probs, 0.0)
+                logits_out = jnp.where(out_mask[..., None], logits, 0.0)
+            return probs, logits_out
+
+        return forward
+
+    def run_batch(self, batch: Batch):
+        if "fwd" not in self._jitted:
+            self._jitted["fwd"] = self._make_forward()
+        probs, logits = self._jitted["fwd"](
+            self.params,
+            jnp.asarray(batch.audio),
+            jnp.asarray(batch.in_lengths),
+            jnp.asarray(batch.out_mask),
+        )
+        return probs, logits
+
+
+def nan_fill(arr: np.ndarray, duration: int) -> None:
+    """Fill frames that never received a prediction with the mean of their
+    neighborhood (reference lib/evaluate.py:118-125); in-place."""
+    nan_idx = np.where(np.isnan(arr if arr.ndim == 1 else arr[:, 0]))[0]
+    for j in nan_idx:
+        lo, hi = max(0, j - 2), min(duration, j + 3)
+        arr[j] = np.nanmean(arr[lo:hi], axis=0)
+
+
+def infer_talk(
+    engine: WindowInference,
+    batches,
+    duration_outframes: int,
+    collect_targets: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Run all window batches of one talk and stitch.
+
+    Returns (talk_probs, talk_logits, talk_targets) as float64/float32 numpy
+    arrays of length duration_outframes.
+    """
+    vocab_size = getattr(engine.model, "vocab_size", 1)
+    talk_probs = np.full(duration_outframes, np.nan)
+    if vocab_size and vocab_size > 1:
+        talk_logits = np.full((duration_outframes, vocab_size), np.nan)
+    else:
+        talk_logits = np.full(duration_outframes, np.nan)
+    talk_targets = np.zeros(duration_outframes)
+
+    pending = []  # (device probs, device logits, batch) for async dispatch
+    for batch in batches:
+        probs_d, logits_d = engine.run_batch(batch)
+        pending.append((probs_d, logits_d, batch))
+
+    for probs_d, logits_d, batch in pending:
+        probs = np.asarray(probs_d)
+        logits = np.asarray(logits_d)
+        for i in range(len(probs)):
+            start, end = int(batch.starts[i]), int(batch.ends[i])
+            if batch.included[i] and end > start:
+                duration = end - start
+                talk_probs[start:end] = probs[i, :duration]
+                talk_logits[start:end] = logits[i, :duration]
+                if collect_targets and batch.target is not None:
+                    talk_targets[start:end] = batch.target[i, :duration]
+            elif not batch.included[i] and end > start:
+                talk_probs[start:end] = 0
+                talk_logits[start:end] = 0
+
+    nan_fill(talk_probs, duration_outframes)
+    nan_fill(talk_logits, duration_outframes)
+
+    return talk_probs, talk_logits, talk_targets
