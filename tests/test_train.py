@@ -1,0 +1,205 @@
+"""Training subsystem tests: losses vs torch, LNA masking, train step on a
+tiny model, and data-parallel sharding on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wav2vecsegmenter_tpu.train.loss import (
+    BCEWithLogitsLoss,
+    CrossEntropyLoss,
+    FocalLoss,
+    build_loss,
+    moving_average_jax,
+)
+from wav2vecsegmenter_tpu.train.step import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+from .helpers import tiny_shas
+
+
+def test_bce_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    x = rng.randn(4, 50).astype(np.float32)
+    z = (rng.rand(4, 50) > 0.7).astype(np.float32)
+    for pw in [None, 0.93]:
+        ours = np.asarray(BCEWithLogitsLoss(pw)(jnp.asarray(x), jnp.asarray(z)))
+        tl = torch.nn.BCEWithLogitsLoss(
+            reduction="none",
+            pos_weight=None if pw is None else torch.tensor(pw),
+        )(torch.from_numpy(x), torch.from_numpy(z)).numpy()
+        np.testing.assert_allclose(ours, tl, rtol=1e-5, atol=1e-6)
+
+
+def test_focal_matches_reference_formula(rng):
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "/root/reference/lib")
+    from loss import FocalLoss as RefFocal
+
+    x = rng.randn(4, 50).astype(np.float32)
+    z = (rng.rand(4, 50) > 0.7).astype(np.float32)
+    ours = np.asarray(FocalLoss(0.9, 2.0)(jnp.asarray(x), jnp.asarray(z)))
+    ref = RefFocal(pos_weight=0.9, gamma=2.0)(
+        torch.from_numpy(x), torch.from_numpy(z)
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_ce_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    x = rng.randn(20, 7).astype(np.float32)
+    t = rng.randint(0, 7, 20)
+    t[3] = 2
+    ours = np.asarray(
+        CrossEntropyLoss(ignore_index=2)(jnp.asarray(x), jnp.asarray(t))
+    )
+    tl = torch.nn.CrossEntropyLoss(reduction="none", ignore_index=2)(
+        torch.from_numpy(x), torch.from_numpy(t)
+    ).numpy()
+    np.testing.assert_allclose(ours, tl, rtol=1e-5, atol=1e-6)
+
+
+def test_moving_average_jax_matches_numpy(rng):
+    from wav2vecsegmenter_tpu.algorithms import moving_average
+
+    x = rng.rand(3, 100).astype(np.float32)
+    got = np.asarray(moving_average_jax(jnp.asarray(x), 5))
+    for i in range(3):
+        np.testing.assert_allclose(got[i], moving_average(x[i], 5), rtol=1e-5)
+
+
+def test_build_loss_pos_weight_auto():
+    conf = {"_target_": "torch.nn.BCEWithLogitsLoss", "tag": "bce",
+            "pos_weight": None, "ma_window": None, "reduction": "none"}
+    loss_fn, tag, ma = build_loss(conf, pos_class_percentage=0.8)
+    assert tag == "bce" and ma == 0.0
+    assert abs(loss_fn.pos_weight - 0.2) < 1e-9
+
+
+def _make_batch(rng, b=4, L=32000, t_out=100):
+    audio = rng.randn(b, L).astype(np.float32)
+    lengths = np.full(b, L, np.int32)
+    # learnable structure: speech in the first half, boundary in the second
+    target = np.zeros((b, t_out), np.float32)
+    target[:, : t_out // 2] = 1.0
+    out_mask = np.ones((b, t_out), bool)
+    return {
+        "audio": jnp.asarray(audio),
+        "in_lengths": jnp.asarray(lengths),
+        "target": jnp.asarray(target),
+        "out_mask": jnp.asarray(out_mask),
+    }
+
+
+def test_train_step_decreases_loss(rng):
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    mask = model.trainable_mask(params)
+    opt = make_optimizer(1e-3, 100, 1, mask)
+    state = init_train_state(model, opt, jax.random.PRNGKey(1), params)
+    loss_fn = BCEWithLogitsLoss(None)
+    step = make_train_step(model, loss_fn, "bce", 0, opt)
+
+    batch = _make_batch(rng)
+    losses = []
+    key = jax.random.PRNGKey(2)
+    for i in range(8):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_frozen_backbone_does_not_move(rng):
+    model = tiny_shas(finetune_wav2vec=False)
+    params = model.init(jax.random.PRNGKey(0))
+    mask = model.trainable_mask(params)
+    opt = make_optimizer(1e-2, 100, 1, mask)
+    state = init_train_state(model, opt, jax.random.PRNGKey(1), params)
+    step = make_train_step(model, BCEWithLogitsLoss(None), "bce", 0, opt)
+
+    w2v_before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                              state.params["wav2vec"])
+    seg_before = np.asarray(state.params["seg"]["out"]["w"]).copy()
+    batch = _make_batch(rng)
+    state, _ = step(state, batch, jax.random.PRNGKey(3))
+
+    for a, b in zip(jax.tree.leaves(w2v_before),
+                    jax.tree.leaves(state.params["wav2vec"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(seg_before, np.asarray(state.params["seg"]["out"]["w"]))
+
+
+def test_partial_finetune_layer_masking():
+    model = tiny_shas(finetune_wav2vec=True, wav2vec_ft_layers=1,
+                      finetune_w2v_feat_enc=False, finetune_w2v_ffn=False)
+    params = model.init(jax.random.PRNGKey(0))
+    mask = model.trainable_mask(params)
+    # 2 kept layers, 1 ft layer: layer 0 frozen, layer 1 trainable
+    attn_q_mask = np.asarray(mask["wav2vec"]["layers"]["attn"]["q"]["w"])
+    assert attn_q_mask[0].max() == 0.0
+    assert attn_q_mask[1].min() == 1.0
+    # FFN frozen in all layers (finetune_w2v_ffn=False)
+    ffn_mask = np.asarray(mask["wav2vec"]["layers"]["ffn"]["w1"]["w"])
+    assert ffn_mask.max() == 0.0
+    # feature extractor frozen
+    fe_mask = np.asarray(mask["wav2vec"]["feature_extractor"]["convs"][0]["w"])
+    assert fe_mask.max() == 0.0
+    # pos_conv trainable (reference leaves it unfrozen)
+    assert np.asarray(mask["wav2vec"]["pos_conv"]["w_v"]).min() == 1.0
+
+
+def test_data_parallel_train_step_on_mesh(rng):
+    """Train step over the 8-device CPU mesh matches the single-device step."""
+    from wav2vecsegmenter_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    mesh = make_mesh(8)
+
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    mask = model.trainable_mask(params)
+    opt = make_optimizer(1e-3, 100, 1, mask)
+
+    batch = _make_batch(rng, b=8, L=16000, t_out=50)
+
+    params2 = jax.tree.map(jnp.copy, params)  # step fns donate their state
+    state1 = init_train_state(model, opt, jax.random.PRNGKey(1), params)
+    step1 = make_train_step(model, BCEWithLogitsLoss(None), "bce", 0, opt)
+    state1, m1 = step1(state1, batch, jax.random.PRNGKey(9))
+
+    state2 = init_train_state(model, opt, jax.random.PRNGKey(1), params2)
+    step8 = make_train_step(model, BCEWithLogitsLoss(None), "bce", 0, opt,
+                            mesh=mesh)
+    state2, m8 = step8(state2, batch, jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    # Adam's first-step update is ~sign(g): tiny cross-shard reduction-order
+    # differences get amplified, so params match only loosely after a step.
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=1e-3)
+
+
+def test_gradient_accumulation_multisteps(rng):
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    mask = model.trainable_mask(params)
+    opt = make_optimizer(1e-3, 100, 4, mask)
+    state = init_train_state(model, opt, jax.random.PRNGKey(1), params)
+    step = make_train_step(model, BCEWithLogitsLoss(None), "bce", 0, opt)
+    batch = _make_batch(rng, b=2, L=16000, t_out=50)
+    p0 = np.asarray(state.params["seg"]["out"]["w"]).copy()
+    for i in range(3):  # fewer than update_freq: no update yet
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    np.testing.assert_array_equal(p0, np.asarray(state.params["seg"]["out"]["w"]))
+    state, _ = step(state, batch, jax.random.PRNGKey(99))  # 4th: update fires
+    assert not np.allclose(p0, np.asarray(state.params["seg"]["out"]["w"]))

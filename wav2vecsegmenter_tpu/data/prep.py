@@ -1,0 +1,65 @@
+"""Corpus preparation: MuST-C-style yaml + wav dir -> talks/segments TSVs.
+
+In-repo replacement for the external SHAS ``prepare_dataset_for_segmentation``
+the reference shells out to (runs/prep_mustc.sh:8-12,
+lib/prepare_synthetic_data.py:379-388).  Output contract matches what the
+reference dataset layer reads (lib/dataset.py:36-41):
+  * ``{split}_talks.tsv``:    index, id, path, total_frames
+  * ``{split}_segments.tsv``: index, talk_id, start, end   (input-space frames)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import yaml
+
+from ..constants import INPUT_SAMPLE_RATE
+from .audio import wav_info
+
+
+def prepare_dataset_for_segmentation(
+    yaml_path: str | Path,
+    wav_dir: str | Path,
+    output_dir: str | Path,
+    split: str | None = None,
+) -> tuple[Path, Path]:
+    """Build the talks/segments TSV pair for a corpus split."""
+    yaml_path = Path(yaml_path)
+    wav_dir = Path(wav_dir)
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    split = split or yaml_path.stem
+
+    with open(yaml_path) as f:
+        rows = yaml.safe_load(f)
+
+    talks: dict[str, dict] = {}
+    seg_rows = []
+    for r in rows:
+        wav = r["wav"]
+        talk_id = Path(wav).stem
+        if talk_id not in talks:
+            path = wav_dir / wav
+            total_frames, sr, _ = wav_info(path)
+            assert sr == INPUT_SAMPLE_RATE, f"{path}: sample rate {sr}"
+            talks[talk_id] = {
+                "id": talk_id,
+                "path": str(path),
+                "total_frames": int(total_frames),
+            }
+        start = int(round(float(r["offset"]) * INPUT_SAMPLE_RATE))
+        end = start + int(round(float(r["duration"]) * INPUT_SAMPLE_RATE))
+        end = min(end, talks[talk_id]["total_frames"])
+        seg_rows.append({"talk_id": talk_id, "start": start, "end": end})
+
+    talks_df = pd.DataFrame(list(talks.values()))
+    segments_df = pd.DataFrame(seg_rows)
+
+    talks_tsv = output_dir / f"{split}_talks.tsv"
+    segments_tsv = output_dir / f"{split}_segments.tsv"
+    talks_df.to_csv(talks_tsv, sep="\t")
+    segments_df.to_csv(segments_tsv, sep="\t")
+    return talks_tsv, segments_tsv

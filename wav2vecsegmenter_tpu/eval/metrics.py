@@ -1,0 +1,81 @@
+"""Frame-level evaluation: dev-set micro/binary F1, precision, recall.
+
+Replicates reference lib/evaluate.py:130-214 — per talk, average probs over
+``inference_times`` shifted window grids, threshold, accumulate preds/targets
+over all talks, then sklearn metrics rounded to 4 decimals.  ``eval_f1`` is
+the best-checkpoint selection metric (reference conf/train.yaml:16-17).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from sklearn.metrics import f1_score, precision_score, recall_score
+
+from ..infer.pipeline import WindowInference, infer_talk
+
+
+def evaluate(
+    dataloader_generator,
+    engine: WindowInference,
+    loss_tag: str = "bce",
+    vocab=None,
+) -> dict[str, float]:
+    all_preds = np.array([], dtype=bool)
+    all_targets = np.array([])
+
+    talk_ids = dataloader_generator.get_talk_ids()
+    inference_times = dataloader_generator.dataset.inference_times
+
+    from tqdm import tqdm
+
+    for talk_id in tqdm(talk_ids, desc="eval talks"):
+        probs = logits = targets = None
+        for iteration in range(inference_times):
+            batches = dataloader_generator.generate(talk_id, iteration)
+            p, l, t = infer_talk(
+                engine, batches,
+                dataloader_generator.dataset.duration_outframes,
+                collect_targets=True,
+            )
+            if probs is None:
+                probs, logits, targets = p.copy(), l.copy(), t.copy()
+            else:
+                probs += p
+                logits += l
+        probs /= inference_times
+
+        if loss_tag == "bce":
+            # NOTE: the reference divides by inference_times a second time
+            # here (lib/evaluate.py:185) — with the default inference_times=1
+            # this is a no-op; replicated for metric parity.
+            preds = probs / inference_times > 0.5
+        elif loss_tag in ("ce", "ssl"):
+            preds = np.argmax(logits, axis=-1) == vocab.boundary_token_id
+            spe_mask = targets != vocab.pad_token_id
+            targets = targets * spe_mask
+        else:
+            raise NotImplementedError(loss_tag)
+
+        all_preds = np.append(all_preds, preds)
+        all_targets = np.append(all_targets, targets)
+
+    all_targets = all_targets.astype(bool)
+    all_preds = all_preds.astype(bool)
+    return {
+        "eval_accuracy": round(f1_score(all_targets, all_preds, average="micro"), 4),
+        "eval_f1": round(f1_score(all_targets, all_preds, average="binary"), 4),
+        "eval_precision": round(precision_score(all_targets, all_preds), 4),
+        "eval_recall": round(recall_score(all_targets, all_preds), 4),
+    }
+
+
+def train_step_metrics(all_targets, all_preds, all_losses) -> dict:
+    """Running train metrics printed every print_every_steps
+    (reference train.py:508-527)."""
+    return {
+        "loss": float(np.mean(all_losses)) if all_losses else float("nan"),
+        "accuracy": f1_score(all_targets, all_preds, average="micro"),
+        "f1": f1_score(all_targets, all_preds, average="binary"),
+        "precision": precision_score(all_targets, all_preds, zero_division=0),
+        "recall": recall_score(all_targets, all_preds, zero_division=0),
+    }

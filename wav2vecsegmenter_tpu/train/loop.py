@@ -1,0 +1,271 @@
+"""Training orchestration: epochs, metrics, eval, checkpoint rotation.
+
+Control flow mirrors reference train.py:215-747 — per-epoch random
+resegmentation, pos_weight auto-derivation, update_freq gradient
+accumulation, periodic evaluate(), checkpoint rotation + best-by-eval_f1 —
+executed through the jitted data-parallel train step (train/step.py).
+
+Improvements over the reference (SURVEY §5.3/§5.4): a ``resume`` path that
+restores params+optimizer+step (the reference loses the epoch on a crash),
+and optional jax.profiler trace capture of the first N steps.
+"""
+
+from __future__ import annotations
+
+import logging
+import shutil
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..checkpoints.io import restore_orbax, save_orbax
+from ..config import Config, instantiate, merge, to_plain
+from ..eval.metrics import evaluate, train_step_metrics
+from ..infer.pipeline import WindowInference
+from ..parallel.mesh import make_mesh
+from .loss import build_loss
+from .step import TrainState, init_train_state, make_optimizer, make_train_step
+
+logger = logging.getLogger("wav2vecsegmenter_tpu")
+
+
+def _batch_to_device(batch, mesh):
+    import jax
+
+    from ..parallel.mesh import batch_sharding
+
+    arrays = {
+        "audio": batch.audio,
+        "in_lengths": batch.in_lengths,
+        "target": batch.target if batch.target is not None else
+        np.zeros_like(batch.out_mask, np.float32),
+        "out_mask": batch.out_mask,
+    }
+    if mesh is None:
+        return {k: jnp.asarray(v) for k, v in arrays.items()}
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in arrays.items()}
+
+
+def train(config: Config, work_dir: str | Path | None = None) -> dict:
+    """Run training; returns final eval results."""
+    results_path = Path(work_dir or ".") / config.exp_name
+    checkpoints_path = results_path / "ckpts"
+    checkpoints_path.mkdir(parents=True, exist_ok=True)
+
+    rt = config.get("runtime") or {}
+    compute_dtype = (
+        jnp.bfloat16
+        if rt.get("compute_dtype", "bfloat16") == "bfloat16"
+        and jax.default_backend() == "tpu"
+        else jnp.float32
+    )
+    from ..ops.backend import set_backend
+
+    set_backend(rt.get("kernels", "auto"))
+    seed = int(rt.get("seed", 0))
+
+    mesh_conf = rt.get("mesh") or {}
+    n_data = int(mesh_conf.get("data", -1) or -1)
+    n_devices = len(jax.devices()) if n_data == -1 else n_data
+    mesh = make_mesh(n_data) if n_devices > 1 else None
+
+    # effective batch = batch_size * n_devices (reference train.py:245)
+    effective_batch_size = int(config.batch_size) * max(1, n_devices)
+    device_conf = Config({
+        "batch_size": effective_batch_size,
+        "num_workers": 4,
+    })
+
+    vocab = instantiate(config.task.vocab) if config.task.get("vocab") else None
+    autoregression = bool(config.task.autoregression)
+
+    train_gen = instantiate(
+        merge(merge(config.task.train_generator, config.data.train), device_conf),
+        autoregression=autoregression, vocab=vocab,
+    )
+    eval_gen = instantiate(
+        merge(merge(config.task.eval_generator, config.data.eval), device_conf),
+        autoregression=autoregression, vocab=vocab,
+    )
+
+    from ..cli.common import build_model
+
+    model, vocab = build_model(config)
+
+    rng = jax.random.PRNGKey(seed)
+    params = model.init(rng)
+
+    # warm start (reference train.py:290-296)
+    if config.get("finetune_from_model"):
+        from ..checkpoints.io import load_model_checkpoint
+
+        loaded = load_model_checkpoint(
+            model, config.finetune_from_model,
+            allow_random_wav2vec=bool(config.get("allow_random_wav2vec")),
+        )
+        if "wav2vec" in loaded:
+            params = loaded
+        else:
+            params = {**params, "seg": loaded["seg"]}
+
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    logger.info("Model parameters: %.1fM", n_params / 1e6)
+
+    # first loader to approximate total steps (reference train.py:321-332)
+    if hasattr(train_gen, "get_talk_ids"):
+        train_loader = train_gen.generate("", 0)
+    else:
+        train_loader = train_gen.generate()
+    update_freq = int(config.update_freq)
+    total_steps_approx = int(
+        int(config.max_epochs) * len(train_loader) / update_freq * 1.01
+    )
+
+    mask_tree = model.trainable_mask(params)
+    optimizer = make_optimizer(
+        float(config.learning_rate), total_steps_approx, update_freq, mask_tree
+    )
+    state = init_train_state(model, optimizer, rng, params)
+
+    # resume support (beyond the reference)
+    resume_dir = results_path / "last_state"
+    start_epoch = 0
+    if config.get("resume") and resume_dir.exists():
+        template = jax.eval_shape(lambda: state)
+        state = restore_orbax(resume_dir, template=template)
+        meta = to_plain(
+            __import__("yaml").safe_load(open(resume_dir / "meta.yaml"))
+        ) if (resume_dir / "meta.yaml").exists() else {}
+        start_epoch = int(meta.get("epoch", 0))
+        logger.info("Resumed from %s at epoch %d", resume_dir, start_epoch)
+
+    ckpt_list: list[Path] = []
+    best_metric = config.get("best_ckpt_metric", "eval_f1")
+    best_score = 0.0
+    best_checkpoint: Path | None = None
+
+    def save_ckpt(name: str, results: dict | None):
+        nonlocal best_score, best_checkpoint
+        if not config.get("save_ckpts", True):
+            return
+        # layout parity: seg-only unless finetuning the backbone
+        # (reference train.py:596-613)
+        tree = state.params if model.save_full_state else {
+            "seg": state.params["seg"]
+        }
+        path = checkpoints_path / name
+        save_orbax(path, tree)
+        ckpt_list.append(path)
+        if len(ckpt_list) > int(config.get("keep_last_ckpts", 8)):
+            shutil.rmtree(ckpt_list.pop(0), ignore_errors=True)
+        if config.get("keep_best_ckpt", True) and results:
+            score = results.get(best_metric, 0.0)
+            if score > best_score:
+                if best_checkpoint is not None:
+                    shutil.rmtree(best_checkpoint, ignore_errors=True)
+                best_checkpoint = checkpoints_path / f"{name}_best_{best_metric}"
+                best_score = score
+                save_orbax(best_checkpoint, tree)
+
+    train_step = None
+    engine = WindowInference(
+        model, state.params, loss_tag=config.task.loss.tag,
+        compute_dtype=compute_dtype, vocab=vocab,
+    )
+
+    global_step = 0
+    results: dict = {}
+    profile_steps = int(rt.get("profile_steps", 0) or 0)
+
+    for epoch in range(start_epoch, int(config.max_epochs)):
+        logger.info("Starting epoch %d ...", epoch)
+        if epoch != start_epoch or start_epoch > 0:
+            if hasattr(train_gen, "get_talk_ids"):
+                train_loader = train_gen.generate("", 0)
+            else:
+                train_loader = train_gen.generate()
+
+        pos_pct = getattr(train_gen.dataset, "pos_class_percentage", None)
+        loss_fn, loss_tag, ma_window = build_loss(
+            to_plain(config.task.loss), pos_pct, vocab
+        )
+        from ..constants import WAV2VEC_FRAME_LEN
+
+        ma_window_steps = int(ma_window / (WAV2VEC_FRAME_LEN / 1000)) \
+            if ma_window else 0
+        if loss_tag == "bce" and pos_pct is not None:
+            logger.info("pos_class_percentage = %s", pos_pct)
+
+        if train_step is None:
+            train_step = make_train_step(
+                model, loss_fn, loss_tag, ma_window_steps, optimizer,
+                compute_dtype=compute_dtype, vocab=vocab, mesh=mesh,
+            )
+
+        steps_in_epoch = len(train_loader)
+        all_losses, all_preds, all_targets = [], [], []
+        t_start = time.time()
+
+        for step, batch in enumerate(train_loader, start=1):
+            global_step += 1
+            if profile_steps and global_step == 1:
+                jax.profiler.start_trace(str(results_path / "profile"))
+            dev_batch = _batch_to_device(batch, mesh)
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, dev_batch, sub)
+
+            if profile_steps and global_step == profile_steps:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+
+            all_losses.append(float(metrics["loss"]))
+            if loss_tag == "bce":
+                logits = np.asarray(metrics["logits"])
+                t = min(logits.shape[1], batch.out_mask.shape[1])
+                m = batch.out_mask[:, :t]
+                all_preds.extend(
+                    ((1 / (1 + np.exp(-logits[:, :t]))) >= 0.5)[m].tolist())
+                tgt = batch.target[:, :t]
+                all_targets.extend((tgt >= 0.5)[m].tolist())
+
+            if (step % int(config.print_every_steps) == 0) or (
+                step == steps_in_epoch
+            ):
+                m = train_step_metrics(all_targets, all_preds, all_losses)
+                sps = step / (time.time() - t_start)
+                logger.info(
+                    "Step %d/%d loss=%.4f acc=%.4f f1=%.4f p=%.4f r=%.4f "
+                    "(%.2f steps/s)",
+                    step, steps_in_epoch, m["loss"], m["accuracy"], m["f1"],
+                    m["precision"], m["recall"], sps,
+                )
+                all_losses, all_preds, all_targets = [], [], []
+
+            if int(config.save_every_steps) and (
+                global_step % int(config.save_every_steps) == 0
+            ):
+                engine.params = state.params
+                results = evaluate(eval_gen, engine, loss_tag, vocab)
+                logger.info("eval @ step %d: %s", global_step, results)
+                save_ckpt(f"epoch-{epoch}_step-{global_step}", results)
+
+        # end-of-epoch eval + ckpt (reference train.py:654-744)
+        engine.params = state.params
+        results = evaluate(eval_gen, engine, loss_tag, vocab)
+        logger.info("eval @ epoch %d: %s", epoch, results)
+        save_ckpt(f"epoch-{epoch}", results)
+
+        # resume state (params + opt + step)
+        if config.get("save_ckpts", True):
+            save_orbax(resume_dir, state)
+            import yaml as _yaml
+
+            with open(resume_dir / "meta.yaml", "w") as f:
+                _yaml.safe_dump({"epoch": epoch + 1,
+                                 "global_step": global_step}, f)
+
+    return results

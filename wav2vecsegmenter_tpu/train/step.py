@@ -1,0 +1,148 @@
+"""Jitted training step: loss, grads, masked AdamW update, data-parallel.
+
+Replaces the reference's eager loop body (train.py:381-480):
+  * forward+backward+update fuse into one XLA program;
+  * gradient accumulation (update_freq) via optax.MultiSteps;
+  * LNA partial fine-tuning via 0/1 gradient/update masks from
+    ``model.trainable_mask`` — the functional replacement for
+    requires_grad=False (reference lib/models.py:335-365);
+  * data parallelism: params replicated, batch sharded over the 'data' mesh
+    axis; XLA inserts the psum gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from .loss import moving_average_jax
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: tuple
+    step: jnp.ndarray
+
+
+def make_optimizer(learning_rate: float, total_steps: int, update_freq: int,
+                   mask_tree, weight_decay: float = 0.01):
+    """AdamW + cosine annealing to 0 over total_steps optimizer steps
+    (reference train.py:326-332; torch AdamW default weight_decay=0.01),
+    wrapped in MultiSteps for gradient accumulation (update_freq,
+    train.py:474-480) with updates masked by the trainable tree."""
+    schedule = optax.cosine_decay_schedule(learning_rate, max(1, total_steps))
+    tx = optax.chain(
+        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=weight_decay),
+        _mask_updates(mask_tree),
+    )
+    if update_freq > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=update_freq)
+    return tx
+
+
+def _mask_updates(mask_tree):
+    """Zero updates for frozen leaves (mask value 0)."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        masked = jax.tree.map(lambda u, m: u * m, updates, mask_tree)
+        return masked, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def compute_bce_loss(logits, target, out_mask, loss_fn, ma_window_steps: int):
+    """Masked BCE with optional moving-average boundary down-weighting
+    (reference train.py:408-454)."""
+    t = min(logits.shape[1], target.shape[1])
+    logits = logits[:, :t]
+    target = target[:, :t]
+    out_mask = out_mask[:, :t]
+    loss_per_point = loss_fn(logits, target)
+    loss_per_point = jnp.where(out_mask, loss_per_point, 0.0)
+    if ma_window_steps:
+        target_ma = moving_average_jax(target, ma_window_steps)
+        ma_weight = 1.0 - jnp.abs(target - target_ma)
+        loss_per_point = loss_per_point * ma_weight
+    return loss_per_point.sum(axis=1).mean()
+
+
+def make_train_step(model, loss_fn, loss_tag: str, ma_window_steps: int,
+                    optimizer, compute_dtype=jnp.float32, vocab=None,
+                    mesh=None):
+    """Returns jitted (state, batch_dict, rng) -> (state, metrics)."""
+
+    def loss_and_logits(params, batch, rng):
+        logits = model.apply(
+            params, batch["audio"], batch["in_lengths"], batch["out_mask"],
+            deterministic=False, rng=rng, compute_dtype=compute_dtype,
+        )
+        if loss_tag == "bce":
+            loss = compute_bce_loss(
+                logits, batch["target"], batch["out_mask"], loss_fn,
+                ma_window_steps,
+            )
+        elif loss_tag == "ssl":
+            ctc_logits, frame_logits = logits
+            target_ctc = jnp.argmax(ctc_logits, axis=-1) + vocab.n_special_tokens
+            target = batch["target"].astype(jnp.int32)
+            nb_mask = target != vocab.nonboundary_token_id
+            target_ssl = jnp.where(nb_mask, target, target_ctc)
+            lp = loss_fn(
+                frame_logits.reshape(-1, frame_logits.shape[-1]),
+                target_ssl.reshape(-1),
+            )
+            loss = lp.sum(axis=0).mean()
+            logits = frame_logits
+        elif loss_tag == "ce":
+            lp = loss_fn(
+                logits.reshape(-1, logits.shape[-1]),
+                batch["target"].reshape(-1),
+            )
+            loss = lp.sum(axis=0).mean()
+        else:
+            raise NotImplementedError(loss_tag)
+        return loss, logits
+
+    def step_fn(state: TrainState, batch: dict, rng) -> tuple:
+        (loss, logits), grads = jax.value_and_grad(
+            loss_and_logits, has_aux=True
+        )(state.params, batch, rng)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1)
+        metrics = {"loss": loss, "logits": logits}
+        return new_state, metrics
+
+    if mesh is not None:
+        data_sh = batch_sharding(mesh)
+        rep = replicated(mesh)
+        state_sh = TrainState(rep, rep, rep)
+        batch_shardings = {
+            "audio": data_sh, "in_lengths": data_sh, "target": data_sh,
+            "out_mask": data_sh,
+        }
+        return jax.jit(
+            step_fn,
+            in_shardings=(state_sh, batch_shardings, rep),
+            out_shardings=(state_sh, {"loss": rep, "logits": data_sh}),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def init_train_state(model, optimizer, rng, params=None) -> TrainState:
+    if params is None:
+        params = model.init(rng)
+    opt_state = optimizer.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
