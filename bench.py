@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Headline benchmark: real-time factor (audio-seconds segmented per second
+per chip) of the full segmentation pipeline — wav decode -> normalized
+windows -> wav2vec2-large SFC forward (bf16, Pallas kernels on TPU) ->
+probability stitching -> pDAC.
+
+BASELINE.json north-star: >=50x real time per v5e chip on the large+all
+(24/24) architecture.  vs_baseline = achieved_xRT / 50.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vecsegmenter_tpu.algorithms import pdac, update_yaml_content
+    from wav2vecsegmenter_tpu.data.audio import write_wav
+    from wav2vecsegmenter_tpu.data.datasets import FixedSegmentationDatasetNoTarget
+    from wav2vecsegmenter_tpu.data.loader import BatchIterator
+    from wav2vecsegmenter_tpu.infer.pipeline import WindowInference, infer_talk
+    from wav2vecsegmenter_tpu.models.shas import SHAS
+
+    on_tpu = jax.default_backend() == "tpu"
+    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    # large+all architecture (24/24 layers) — the BASELINE headline config.
+    # Random weights: throughput is weight-independent.
+    keep_layers = 24 if on_tpu else 2
+    talk_secs = float(os.environ.get("BENCH_TALK_SECS", 600 if on_tpu else 60))
+    batch_size = int(os.environ.get("BENCH_BATCH", 14))
+
+    model = SHAS(
+        wav2vec_model_name="facebook/wav2vec2-xls-r-300m",
+        wav2vec_keep_layers=keep_layers,
+        n_transformer_enc_layers=1,
+        n_transformer_enc_heads=8,
+        init_dropout=0.1,
+    )
+    if not on_tpu:  # keep the CPU smoke cheap
+        from wav2vecsegmenter_tpu.models.wav2vec2 import Wav2Vec2Config
+
+        model.w2v_cfg = Wav2Vec2Config(
+            hidden_size=64, num_layers=2, num_heads=4, ffn_dim=128,
+            conv_dim=(32,) * 7, conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+            conv_stride=(5, 2, 2, 2, 2, 2, 2),
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        )
+        model.d_model = 64
+
+    params = model.init(jax.random.PRNGKey(0))
+    engine = WindowInference(model, params, loss_tag="bce",
+                             compute_dtype=compute_dtype)
+
+    with tempfile.TemporaryDirectory() as td:
+        wav_path = Path(td) / "talk.wav"
+        rng = np.random.RandomState(0)
+        n = int(talk_secs * 16000)
+        audio = (rng.randn(n).astype(np.float32) * 0.1
+                 * ((np.arange(n) % 56000) < 48000))
+        write_wav(wav_path, audio)
+
+        dataset = FixedSegmentationDatasetNoTarget(wav_path, 20, 1)
+        dataset.fixed_length_segmentation(0)
+
+        def run_once():
+            batches = BatchIterator(dataset, batch_size, 20.0, shuffle=False)
+            probs, logits, _ = infer_talk(
+                engine, batches, dataset.duration_outframes
+            )
+            segments = pdac(probs, max_segment_length=10, threshold=0.5)
+            return update_yaml_content([], segments, wav_path.name)
+
+        run_once()  # warmup: compile both shape buckets
+        t0 = time.perf_counter()
+        yaml_content = run_once()
+        wall = time.perf_counter() - t0
+
+    xrt = talk_secs / wall
+    target = 50.0
+    print(json.dumps({
+        "metric": "xRT_segmentation_per_chip",
+        "value": round(xrt, 2),
+        "unit": "audio-sec/sec (x realtime)",
+        "vs_baseline": round(xrt / target, 3),
+    }))
+    print(f"# talk={talk_secs}s wall={wall:.2f}s segments={len(yaml_content)} "
+          f"backend={jax.default_backend()} layers={keep_layers} "
+          f"batch={batch_size}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

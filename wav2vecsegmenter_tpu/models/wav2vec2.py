@@ -212,6 +212,35 @@ def _dropout(x, rate, deterministic, rng):
     return jnp.where(keep, x / (1.0 - rate), 0)
 
 
+def _strided_conv1d_as_matmul(x: jax.Array, w: jax.Array, stride: int,
+                              compute_dtype) -> jax.Array:
+    """VALID 1-D conv as im2col + MXU matmul.
+
+    XLA's TPU conv lowering is pathological for the wav2vec2 feature
+    extractor's very wide spatial extents (a [B, 320000, 1] conv takes
+    minutes to compile); k strided slices + one GEMM compile in seconds and
+    run at MXU speed.  x [B, T, C], w [k, C, O] -> [B, T', O],
+    T' = (T - k)//s + 1.
+    """
+    b, t, c = x.shape
+    k, _, o = w.shape
+    t_out = (t - k) // stride + 1
+    # patches[b, i, j, c] = x[b, i*stride + j, c]
+    cols = [
+        jax.lax.slice_in_dim(x, j, j + (t_out - 1) * stride + 1, stride, axis=1)
+        for j in range(k)
+    ]
+    patches = jnp.concatenate(cols, axis=-1)  # [B, T', k*C] with (j, c) order
+    # w is [k, C, O] -> [k*C, O] matching the (j, c) patch order
+    w2 = w.reshape(k * c, o).astype(compute_dtype)
+    y = jax.lax.dot_general(
+        patches.astype(compute_dtype), w2,
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(compute_dtype)
+
+
 def feature_extractor(params: dict, audio: jax.Array,
                       cfg: Wav2Vec2Config,
                       compute_dtype=jnp.float32) -> jax.Array:
@@ -219,13 +248,7 @@ def feature_extractor(params: dict, audio: jax.Array,
     x = audio[:, :, None].astype(compute_dtype)  # [B, L, 1]
     for i, layer in enumerate(params["feature_extractor"]["convs"]):
         w = layer["w"].astype(compute_dtype)
-        x = jax.lax.conv_general_dilated(
-            x, w,
-            window_strides=(cfg.conv_stride[i],),
-            padding="VALID",
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            preferred_element_type=jnp.float32,
-        ).astype(compute_dtype)
+        x = _strided_conv1d_as_matmul(x, w, cfg.conv_stride[i], compute_dtype)
         if "b" in layer:
             x = x + layer["b"].astype(compute_dtype)
         if "ln" in layer:
