@@ -23,6 +23,9 @@ import numpy as np
 
 
 def main() -> None:
+    from wav2vecsegmenter_tpu.core.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
     import jax
     import jax.numpy as jnp
 

@@ -1,0 +1,178 @@
+"""ST-pipeline layer tests: fbank, manifests, xml, generation parsing, and a
+full eval_st run with a fake fairseq-generate + the native mWER resegmenter +
+sacreBLEU scoring."""
+
+import os
+import stat
+import zipfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from wav2vecsegmenter_tpu.config import Config
+from wav2vecsegmenter_tpu.data.audio import write_wav
+from wav2vecsegmenter_tpu.stpipe.fbank import fbank80, mel_filterbank
+from wav2vecsegmenter_tpu.stpipe.generation import format_generation_output
+from wav2vecsegmenter_tpu.stpipe.manifest import prepare_custom_dataset
+from wav2vecsegmenter_tpu.stpipe.xml import original_segmentation_to_xml
+
+
+def test_fbank_shape_and_scaling():
+    t = np.arange(16000) / 16000
+    wav = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    feats = fbank80(wav)
+    # 1 s @ 25ms/10ms snip_edges: 1 + (16000-400)//160 = 98 frames
+    assert feats.shape == (98, 80)
+    louder = fbank80(wav * 2)
+    assert louder.mean() > feats.mean()
+    # 440 Hz tone: energy concentrated in low mel bins
+    assert feats[:, :20].mean() > feats[:, 60:].mean()
+
+
+def test_mel_filterbank_partition():
+    fb = mel_filterbank(80, 512, 16000)
+    assert fb.shape == (80, 257)
+    assert (fb >= 0).all()
+    # every filter has support
+    assert (fb.sum(axis=1) > 0).all()
+
+
+def test_prepare_custom_dataset(tmp_path):
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    rng = np.random.RandomState(0)
+    write_wav(wav_dir / "talkA.wav", rng.randn(16000 * 5).astype(np.float32) * 0.1)
+    seg_yaml = tmp_path / "custom_segments.yaml"
+    rows = [
+        {"duration": 2.0, "offset": 0.0, "rW": 0, "uW": 0,
+         "speaker_id": "NA", "wav": "talkA.wav"},
+        {"duration": 1.5, "offset": 2.5, "rW": 0, "uW": 0,
+         "speaker_id": "NA", "wav": "talkA.wav"},
+    ]
+    with open(seg_yaml, "w") as f:
+        yaml.dump(rows, f)
+
+    tsv = prepare_custom_dataset(seg_yaml, wav_dir, "de", 0)
+    assert tsv.exists()
+    import pandas as pd
+
+    df = pd.read_csv(tsv, sep="\t")
+    assert list(df.columns) == ["id", "audio", "n_frames", "tgt_text",
+                                "speaker", "tgt_lang"]
+    assert len(df) == 2
+    assert (df["tgt_lang"] == "de").all()
+
+    # fairseq byte-range contract: zip_path:offset:length -> np.load works
+    zip_path, off, length = df.iloc[0]["audio"].rsplit(":", 2)
+    with open(zip_path, "rb") as f:
+        f.seek(int(off))
+        blob = f.read(int(length))
+    import io
+
+    feat = np.load(io.BytesIO(blob))
+    assert feat.shape[1] == 80
+    assert feat.shape[0] == df.iloc[0]["n_frames"]
+
+
+def test_xml_and_generation_roundtrip(tmp_path):
+    seg = [
+        {"duration": 2.0, "offset": 0.0, "wav": "t1.wav"},
+        {"duration": 2.0, "offset": 2.0, "wav": "t1.wav"},
+        {"duration": 2.0, "offset": 0.0, "wav": "t2.wav"},
+    ]
+    with open(tmp_path / "dev.yaml", "w") as f:
+        yaml.dump(seg, f)
+    (tmp_path / "dev.en").write_text("hello there\nsecond line\nother talk\n")
+    (tmp_path / "dev.de").write_text("hallo da\nzweite zeile\nanderer vortrag\n")
+    paths = original_segmentation_to_xml(
+        tmp_path / "dev.yaml", tmp_path / "dev.en", tmp_path / "dev.de",
+        tmp_path,
+    )
+    assert len(paths) == 2
+    src = (tmp_path / "dev.en.xml").read_text()
+    assert src.count("<doc") == 2 and src.count("<seg") == 3
+
+    gen = tmp_path / "translations.txt"
+    gen.write_text(
+        "H-1 -0.5 foo\nD-1 -0.5 zweite zeile\nD-0 -0.3 hallo da\n"
+        "D-2 -0.9 anderer vortrag\n"
+    )
+    out = format_generation_output(gen)
+    assert out.read_text().splitlines() == [
+        "hallo da", "zweite zeile", "anderer vortrag"
+    ]
+
+
+def test_eval_st_end_to_end(tmp_path, monkeypatch):
+    """Full L6 path with a fake fairseq-generate: dataset prep, generation
+    parsing, native mWER alignment, sacreBLEU scoring."""
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    rng = np.random.RandomState(1)
+    write_wav(wav_dir / "t1.wav", rng.randn(16000 * 6).astype(np.float32) * 0.1)
+
+    # corpus ("original") segmentation + texts
+    orig = [
+        {"duration": 3.0, "offset": 0.0, "wav": "t1.wav"},
+        {"duration": 3.0, "offset": 3.0, "wav": "t1.wav"},
+    ]
+    with open(tmp_path / "dev.yaml", "w") as f:
+        yaml.dump(orig, f)
+    (tmp_path / "dev.en").write_text(
+        "hello world this is the very first segment\n"
+        "and here comes the second longer segment indeed\n")
+    (tmp_path / "dev.de").write_text(
+        "hallo welt dies ist das allererste segment\n"
+        "und hier kommt das zweite laengere segment tatsaechlich\n")
+
+    # the segmentation under evaluation (different boundaries)
+    custom = [
+        {"duration": 2.5, "offset": 0.0, "rW": 0, "uW": 0,
+         "speaker_id": "NA", "wav": "t1.wav"},
+        {"duration": 3.0, "offset": 2.8, "rW": 0, "uW": 0,
+         "speaker_id": "NA", "wav": "t1.wav"},
+    ]
+
+    # fake fairseq-generate on PATH: emits hypothesis D-lines
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    fake = bindir / "fairseq-generate"
+    fake.write_text(
+        "#!/bin/bash\n"
+        "echo 'D-0 -0.1 hallo welt dies ist das allererste segment und hier'\n"
+        "echo 'D-1 -0.2 kommt das zweite laengere segment tatsaechlich'\n"
+    )
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    from wav2vecsegmenter_tpu.stpipe.eval_st import eval_st
+
+    infer_config = Config({
+        "cust_seg_yaml": "custom_segments.yaml",
+        "st_model_dir": str(tmp_path / "stmodel"),
+        "st_ckpt": "ckpt.pt",
+        "fairseq_root": str(tmp_path),
+        "st_metrics": ["bleu"],
+        "infer_data": Config({
+            "wav_dir": str(wav_dir),
+            "tgt_lang": "de",
+            "src_lang": "en",
+            "orig_seg_yaml": str(tmp_path / "dev.yaml"),
+            "orig_src_txt": str(tmp_path / "dev.en"),
+            "orig_tgt_txt": str(tmp_path / "dev.de"),
+        }),
+    })
+    results_path = tmp_path / "results"
+    results = eval_st(infer_config, custom, results_path, "dac")
+
+    assert results["eval_st_n_segments_dac"] == 2
+    assert "eval_st_bleu_dac" in results
+    # the fake hypothesis realigned = exact reference -> BLEU 100
+    assert results["eval_st_bleu_dac"] == pytest.approx(100.0)
+    segs = (results_path / "__segments").read_text().splitlines()
+    assert segs == [
+        "hallo welt dies ist das allererste segment",
+        "und hier kommt das zweite laengere segment tatsaechlich",
+    ]

@@ -63,6 +63,9 @@ def init_logging(config: Config, logfile: str = "log") -> None:
 
 def apply_runtime(config: Config):
     """Apply the TPU runtime block; returns the compute dtype."""
+    from ..core.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
     rt = config.get("runtime") or {}
     set_backend(rt.get("kernels", "auto"))
     dtype_name = rt.get("compute_dtype", "bfloat16")
