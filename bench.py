@@ -63,7 +63,12 @@ def main() -> None:
         )
         model.d_model = 64
 
-    params = model.init(jax.random.PRNGKey(0))
+    # init on host CPU (eager ops through the TPU tunnel are slow), then
+    # transfer the pytree to the chip once
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(jax.random.PRNGKey(0))
+    if on_tpu:
+        params = jax.device_put(params, jax.devices()[0])
     engine = WindowInference(model, params, loss_tag="bce",
                              compute_dtype=compute_dtype)
 

@@ -230,10 +230,48 @@ std::string xml_escape(const std::string& s) {
 
 }  // namespace
 
+int run_mref_mode(int argc, char** argv) {
+  // raw binary interface: mwer_segmenter -mref <segments.txt> -hypfile
+  // <text.txt> [-usecase 1] — resegment hypfile against the line
+  // segmentation of mref; writes __segments in CWD (the interface
+  // lib/analysis/get_statistics.py:33-36 drives).
+  std::string mref_path, hyp_path;
+  for (int i = 1; i + 1 < argc; ++i) {
+    std::string a = argv[i];
+    if (a == "-mref") mref_path = argv[i + 1];
+    if (a == "-hypfile") hyp_path = argv[i + 1];
+  }
+  if (mref_path.empty() || hyp_path.empty()) {
+    std::cerr << "usage: mwer_segmenter -mref <ref.txt> -hypfile <hyp.txt>\n";
+    return 2;
+  }
+  std::ifstream rin(mref_path), hin(hyp_path);
+  if (!rin || !hin) {
+    std::cerr << "cannot open inputs\n";
+    return 1;
+  }
+  std::vector<std::vector<std::string>> ref_segs;
+  std::string line;
+  while (std::getline(rin, line)) ref_segs.push_back(tokenize(line));
+  std::string all_hyp;
+  while (std::getline(hin, line)) {
+    all_hyp += line;
+    all_hyp.push_back(' ');
+  }
+  auto segs = align_doc(tokenize(all_hyp), ref_segs);
+  std::ofstream fseg("__segments");
+  for (const auto& s : segs) fseg << join(s) << "\n";
+  return 0;
+}
+
 int main(int argc, char** argv) {
+  if (argc >= 2 && std::string(argv[1]) == "-mref") {
+    return run_mref_mode(argc, argv);
+  }
   if (argc < 7) {
     std::cerr << "usage: mwer_segmenter <source.xml> <ref.xml> <hyp.txt> "
-                 "<sysid> <lang> <output.xml> [normalize] [usecase]\n";
+                 "<sysid> <lang> <output.xml> [normalize] [usecase]\n"
+                 "   or: mwer_segmenter -mref <ref.txt> -hypfile <hyp.txt>\n";
     return 2;
   }
   const std::string ref_xml = argv[2];

@@ -48,6 +48,26 @@ def score_sentence_bleu(path_to_ref_txt: str, path_to_hyp_txt: str,
     return scores
 
 
+def score_sentence_bertscore(path_to_ref_txt: str, path_to_hyp_txt: str,
+                             path_to_output: str | None, lang: str):
+    """Per-sentence BERTScore P/R/F1 lists (reference score.py's
+    score_sentence_bertscore used by lib/analysis/get_statistics.py:46-51)."""
+    try:
+        from bert_score import score as bertscore_score
+    except ImportError as e:
+        raise RuntimeError(
+            "bert_score not installed; per-sentence BERTScore unavailable"
+        ) from e
+    reference, hypothesis = get_parallel(path_to_ref_txt, path_to_hyp_txt)
+    p, r, f1 = bertscore_score(hypothesis, reference, lang=lang)
+    p, r, f1 = p.tolist(), r.tolist(), f1.tolist()
+    if path_to_output:
+        with open(path_to_output, "w") as f:
+            for row in zip(p, r, f1):
+                f.write("\t".join(str(x) for x in row) + "\n")
+    return p, r, f1
+
+
 def score_bertscore(path_to_ref_txt: str, path_to_hyp_txt: str, lang: str):
     try:
         from bert_score import score as bertscore_score
