@@ -1,0 +1,70 @@
+"""Inference pipeline: stitching semantics, NaN fill, multi-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wav2vecsegmenter_tpu.data.collate import Batch, collate
+from wav2vecsegmenter_tpu.infer.pipeline import (
+    WindowInference,
+    infer_talk,
+    nan_fill,
+)
+from wav2vecsegmenter_tpu.parallel.mesh import make_mesh
+
+from .helpers import tiny_shas
+
+
+def test_nan_fill_local_mean():
+    arr = np.array([0.1, np.nan, 0.3, 0.5, np.nan])
+    nan_fill(arr, 5)
+    # reference semantics: mean over [j-2, j+3) ignoring NaNs
+    assert arr[1] == pytest.approx(np.nanmean([0.1, np.nan, 0.3, 0.5][:4]))
+    assert not np.isnan(arr).any()
+
+
+def _run_inference(mesh=None, batch_size=4):
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    engine = WindowInference(model, params, mesh=mesh)
+
+    rng = np.random.RandomState(0)
+    # 3 windows of 1 s each, talk = 150 out frames
+    examples = []
+    for i in range(3):
+        wav = rng.randn(16000).astype(np.float32) * 0.1
+        examples.append((wav, None, i * 50, (i + 1) * 50))
+    batch = collate(examples, batch_size, 16000, 50)
+    probs, logits, _ = infer_talk(engine, [batch], 150)
+    assert probs.shape == (150,)
+    assert not np.isnan(probs).any()
+    assert (probs >= 0).all() and (probs <= 1).all()
+    return probs
+
+
+def test_infer_talk_single_device():
+    _run_inference()
+
+
+def test_infer_talk_mesh_matches_single():
+    mesh = make_mesh(4)
+    p1 = _run_inference(mesh=None, batch_size=4)
+    p8 = _run_inference(mesh=mesh, batch_size=4)
+    np.testing.assert_allclose(p1, p8, atol=1e-5)
+
+
+def test_empty_window_probs_zero():
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    engine = WindowInference(model, params)
+    rng = np.random.RandomState(0)
+    examples = [
+        (rng.randn(16000).astype(np.float32) * 0.1, None, 0, 50),
+        (np.zeros(16000, np.float32), None, 50, 100),  # silent -> excluded
+    ]
+    batch = collate(examples, 2, 16000, 50)
+    assert not batch.included[1]
+    probs, _, _ = infer_talk(engine, [batch], 100)
+    np.testing.assert_array_equal(probs[50:100], 0.0)

@@ -23,16 +23,22 @@ from ..data.collate import Batch
 
 
 class WindowInference:
-    """Holds jitted forward functions keyed by batch shape."""
+    """Holds jitted forward functions keyed by batch shape.
+
+    With a ``mesh``, windows are sharded over the 'data' axis (params
+    replicated) — the multi-chip inference path; the batch size must be a
+    multiple of the mesh size (loaders pad every batch to the static batch
+    size, so this is a config choice, not a data property)."""
 
     def __init__(self, model, params, loss_tag: str = "bce",
                  compute_dtype=jnp.float32, vocab=None,
-                 donate: bool = False):
+                 donate: bool = False, mesh=None):
         self.model = model
         self.params = params
         self.loss_tag = loss_tag
         self.compute_dtype = compute_dtype
         self.vocab = vocab
+        self.mesh = mesh
         self._jitted: dict = {}
 
     def _make_forward(self):
@@ -40,7 +46,6 @@ class WindowInference:
         loss_tag = self.loss_tag
         compute_dtype = self.compute_dtype
 
-        @jax.jit
         def forward(params, audio, in_lengths, out_mask):
             logits = model.apply(
                 params, audio, in_lengths, out_mask,
@@ -60,16 +65,33 @@ class WindowInference:
                 logits_out = jnp.where(out_mask[..., None], logits, 0.0)
             return probs, logits_out
 
-        return forward
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            data_sh = batch_sharding(self.mesh)
+            rep = replicated(self.mesh)
+            return jax.jit(
+                forward,
+                in_shardings=(rep, data_sh, data_sh, data_sh),
+                out_shardings=(data_sh, data_sh),
+            )
+        return jax.jit(forward)
 
     def run_batch(self, batch: Batch):
         if "fwd" not in self._jitted:
             self._jitted["fwd"] = self._make_forward()
+        audio = jnp.asarray(batch.audio)
+        in_lengths = jnp.asarray(batch.in_lengths)
+        out_mask = jnp.asarray(batch.out_mask)
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            sh = batch_sharding(self.mesh)
+            audio, in_lengths, out_mask = (
+                jax.device_put(x, sh) for x in (audio, in_lengths, out_mask)
+            )
         probs, logits = self._jitted["fwd"](
-            self.params,
-            jnp.asarray(batch.audio),
-            jnp.asarray(batch.in_lengths),
-            jnp.asarray(batch.out_mask),
+            self.params, audio, in_lengths, out_mask
         )
         return probs, logits
 

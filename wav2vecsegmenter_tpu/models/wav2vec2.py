@@ -58,6 +58,13 @@ class Wav2Vec2Config:
     ffn_adapter: bool = False
     adapter_dim: int = 512
     adapter_scale: float = 4.0
+    # SpecAugment time masking (HF applies it whenever the backbone runs in
+    # train mode, so the reference's fine-tuning runs had it active with the
+    # checkpoint's defaults; exact HF RNG is not reproducible, the masking
+    # statistics are)
+    apply_spec_augment: bool = True
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
 
     @property
     def head_dim(self) -> int:
@@ -194,7 +201,22 @@ def init_wav2vec2_params(rng: jax.Array, cfg: Wav2Vec2Config) -> dict:
     layers = [one_layer(i) for i in range(cfg.num_layers)]
     params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
+    if cfg.apply_spec_augment:
+        params["masked_spec_embed"] = jax.random.uniform(
+            keys[4], (cfg.hidden_size,), jnp.float32)
+
     return params
+
+
+def sample_time_mask(rng: jax.Array, b: int, t: int, prob: float,
+                     length: int) -> jax.Array:
+    """SpecAugment time-mask sampling: ~prob*t/length spans of ``length``
+    frames per row (matching HF _compute_mask_indices statistics)."""
+    k = max(1, int(prob * t / length))
+    starts = jax.random.randint(rng, (b, k), 0, max(1, t - length))
+    span = starts[:, :, None] + jnp.arange(length)[None, None, :]
+    onehot = jax.nn.one_hot(span.reshape(b, -1), t, dtype=jnp.float32)
+    return onehot.sum(axis=1) > 0  # [b, t] bool
 
 
 # --------------------------------------------------------------------------
@@ -419,6 +441,17 @@ def wav2vec2_forward(
     if not deterministic and rng is not None:
         rng, sub = jax.random.split(rng)
         x = _dropout(x, cfg.feat_proj_dropout, deterministic, sub)
+
+    # SpecAugment time masking (train mode only, HF semantics: masked frames
+    # replaced by the learned masked_spec_embed)
+    if (not deterministic and rng is not None and cfg.apply_spec_augment
+            and cfg.mask_time_prob > 0 and "masked_spec_embed" in params):
+        rng, sub = jax.random.split(rng)
+        tmask = sample_time_mask(sub, x.shape[0], t, cfg.mask_time_prob,
+                                 cfg.mask_time_length)
+        tmask = tmask & frame_mask
+        x = jnp.where(tmask[:, :, None],
+                      params["masked_spec_embed"].astype(x.dtype), x)
 
     h = encoder(params, x, frame_mask, cfg, deterministic=deterministic,
                 rng=rng, compute_dtype=compute_dtype)
