@@ -1,0 +1,101 @@
+"""Full train() loop smoke: tiny corpus + tiny model, 1 epoch, eval metrics,
+checkpoint layout, resume state."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from wav2vecsegmenter_tpu.config import Config, compose
+from wav2vecsegmenter_tpu.data.prep import prepare_dataset_for_segmentation
+
+from .helpers import make_speechlike_wav, tiny_shas
+
+CONF = Path(__file__).resolve().parents[1] / "conf"
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("traincorpus")
+    wav_dir = ws / "wav"
+    wav_dir.mkdir()
+    make_speechlike_wav(wav_dir / "talkA.wav", duration_secs=30, seed=0)
+    make_speechlike_wav(wav_dir / "talkB.wav", duration_secs=25, seed=1)
+    rows = []
+    for wav, dur in (("talkA.wav", 30), ("talkB.wav", 25)):
+        t = 0.2
+        while t + 3.0 < dur:
+            rows.append({"duration": 2.8, "offset": round(t, 2),
+                         "speaker_id": "NA", "wav": wav})
+            t += 3.5
+    with open(ws / "train.yaml", "w") as f:
+        yaml.dump(rows, f)
+    talks_tsv, segments_tsv = prepare_dataset_for_segmentation(
+        ws / "train.yaml", wav_dir, ws, split="train"
+    )
+    return ws, talks_tsv, segments_tsv
+
+
+def test_prep_tsv_contract(corpus):
+    import pandas as pd
+
+    ws, talks_tsv, segments_tsv = corpus
+    talks = pd.read_csv(talks_tsv, sep="\t", index_col=0)
+    segs = pd.read_csv(segments_tsv, sep="\t", index_col=0)
+    assert set(talks.columns) == {"id", "path", "total_frames"}
+    assert set(segs.columns) == {"talk_id", "start", "end"}
+    assert talks.loc[talks.id == "talkA", "total_frames"].values[0] == 30 * 16000
+    assert (segs.end > segs.start).all()
+
+
+def test_train_loop_end_to_end(corpus, tmp_path, monkeypatch):
+    ws, talks_tsv, segments_tsv = corpus
+    monkeypatch.chdir(tmp_path)
+
+    # registry: tiny architecture under the SHAS target
+    from wav2vecsegmenter_tpu.config import registry
+
+    import tests.helpers as helpers
+
+    def build_tiny(**kwargs):
+        return tiny_shas()
+
+    helpers._tiny_builder_train = build_tiny
+    orig = registry._ALIASES["lib.models.SHAS"]
+    registry.register("lib.models.SHAS", "tests.helpers:_tiny_builder_train")
+    try:
+        cfg = compose(CONF, "train", overrides=[
+            "exp_name=smoke",
+            "batch_size=2",
+            "segment_length=4",
+            "max_epochs=1",
+            "update_freq=2",
+            "print_every_steps=5",
+            "save_every_steps=999999",
+            "learning_rate=1e-4",
+            "keep_last_ckpts=2",
+            f"data.train.talk_list={talks_tsv}",
+            f"data.train.segments_list={segments_tsv}",
+            f"data.eval.talk_list={talks_tsv}",
+            f"data.eval.segments_list={segments_tsv}",
+            "runtime.kernels=xla",
+            "runtime.compute_dtype=float32",
+        ])
+        from wav2vecsegmenter_tpu.train.loop import train
+
+        results = train(cfg, work_dir=tmp_path)
+    finally:
+        registry._ALIASES["lib.models.SHAS"] = orig
+
+    assert set(results) >= {"eval_accuracy", "eval_f1", "eval_precision",
+                            "eval_recall"}
+    # checkpoint layout: frozen backbone -> seg-only tree
+    ckpts = sorted((tmp_path / "smoke" / "ckpts").glob("epoch-*"))
+    assert ckpts, "no checkpoints saved"
+    from wav2vecsegmenter_tpu.checkpoints.io import restore_orbax
+
+    tree = restore_orbax(ckpts[0])
+    assert set(tree) == {"seg"}
+    # resume state saved
+    assert (tmp_path / "smoke" / "last_state").exists()
