@@ -20,7 +20,7 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from ..core.frames import secs_to_inframes
-from .collate import Batch, collate, out_len_for
+from .collate import Batch, collate, collate_autoreg, out_len_for
 from .datasets import (
     FixedSegmentationDataset,
     RandomSegmentationDataset,
@@ -50,6 +50,8 @@ class BatchIterator:
         num_threads: int = 4,
         prefetch: int = 2,
         pad_token_id: float = 0.0,
+        autoregression: bool = False,
+        sep_token_id: int = 3,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -59,6 +61,8 @@ class BatchIterator:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.pad_token_id = pad_token_id
+        self.autoregression = autoregression
+        self.sep_token_id = sep_token_id
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -91,10 +95,16 @@ class BatchIterator:
                             return
                         examples = list(pool.map(self.dataset.__getitem__, idx))
                         audio_len, out_len = self._bucket_for(examples)
-                        batch = collate(
-                            examples, self.batch_size, audio_len, out_len,
-                            self.pad_token_id,
-                        )
+                        if self.autoregression:
+                            batch = collate_autoreg(
+                                examples, self.batch_size, audio_len, out_len,
+                                int(self.pad_token_id), self.sep_token_id,
+                            )
+                        else:
+                            batch = collate(
+                                examples, self.batch_size, audio_len, out_len,
+                                self.pad_token_id,
+                            )
                         q.put(batch)
             except BaseException as e:  # surface worker errors to consumer
                 q.put(e)
@@ -152,6 +162,8 @@ class RandomDataloaderGenerator:
             seed=seed,
             num_threads=self.num_workers,
             pad_token_id=self.vocab.pad_token_id if self.vocab else 0.0,
+            autoregression=self.autoregression,
+            sep_token_id=self.vocab.sep_token_id if self.vocab else 3,
         )
 
 
@@ -173,6 +185,7 @@ class FixedDataloaderGenerator:
         self.num_workers = num_workers
         self.segment_length = segment_length
         self.vocab = vocab
+        self.autoregression = autoregression
         self.dataset = FixedSegmentationDataset(
             talk_list, segments_list, segment_length, inference_times
         )
@@ -189,6 +202,8 @@ class FixedDataloaderGenerator:
             shuffle=False,
             num_threads=self.num_workers,
             pad_token_id=self.vocab.pad_token_id if self.vocab else 0.0,
+            autoregression=self.autoregression,
+            sep_token_id=self.vocab.sep_token_id if self.vocab else 3,
         )
 
     def get_talk_ids(self) -> list:

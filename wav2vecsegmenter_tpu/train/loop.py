@@ -35,19 +35,79 @@ logger = logging.getLogger("wav2vecsegmenter_tpu")
 def _batch_to_device(batch, mesh):
     import jax
 
+    from ..data.collate import AutoRegBatch
     from ..parallel.mesh import batch_sharding
 
-    arrays = {
-        "audio": batch.audio,
-        "in_lengths": batch.in_lengths,
-        "target": batch.target if batch.target is not None else
-        np.zeros_like(batch.out_mask, np.float32),
-        "out_mask": batch.out_mask,
-    }
+    if isinstance(batch, AutoRegBatch):
+        arrays = {
+            "audio": batch.audio,
+            "in_lengths": batch.in_lengths,
+            "in_target": batch.in_target,
+            "out_target": batch.out_target,
+            "src_mask": batch.src_mask,
+            "tgt_mask": batch.tgt_mask,
+        }
+    else:
+        arrays = {
+            "audio": batch.audio,
+            "in_lengths": batch.in_lengths,
+            "target": batch.target if batch.target is not None else
+            np.zeros_like(batch.out_mask, np.float32),
+            "out_mask": batch.out_mask,
+        }
     if mesh is None:
         return {k: jnp.asarray(v) for k, v in arrays.items()}
     sh = batch_sharding(mesh)
     return {k: jax.device_put(v, sh) for k, v in arrays.items()}
+
+
+def _run_st_eval(config, model, params, vocab, compute_dtype, results_path,
+                 checkpoint_name) -> dict:
+    """In-training ST evaluation over st_eval / st_eval_online configs
+    (reference train.py:36-212): segment the eval wav dir with the current
+    params, then translate+align+score."""
+    from ..cli.common import segment_wavs, wavs_from_dir
+    from ..stpipe.eval_st import eval_st
+
+    all_results: dict = {}
+    for key in ("st_eval", "st_eval_online"):
+        st_cfg = config.get(key)
+        if not st_cfg:
+            continue
+        # the segmentation loop reads task.loss.tag from its config
+        seg_cfg = merge(Config({"task": config.task}), st_cfg)
+        algorithm = st_cfg.algorithm.tag
+        try:
+            yaml_content = segment_wavs(
+                seg_cfg, model, params, vocab,
+                wavs_from_dir(st_cfg), compute_dtype,
+            )
+        except FileNotFoundError as e:
+            logger.warning("%s skipped: %s", key, e)
+            continue
+        out = (Path(results_path) / "eval_st" / checkpoint_name / algorithm)
+        all_results.update(eval_st(st_cfg, yaml_content, out, algorithm))
+    return all_results
+
+
+def _init_wandb(config, results_path):
+    """Optional wandb run (reference train.py:224-232); silently disabled
+    when wandb is not installed."""
+    if not config.get("log_wandb"):
+        return None
+    try:
+        import wandb
+    except ImportError:
+        logger.warning("log_wandb=True but wandb is not installed; disabled")
+        return None
+    return wandb.init(
+        project=config.get("project_name", "w2v_segment"),
+        config=to_plain(config),
+        name=config.get("exp_name"),
+        notes=config.get("notes"),
+        group=config.get("group"),
+        dir=str(results_path),
+    )
 
 
 def train(config: Config, work_dir: str | Path | None = None) -> dict:
@@ -55,6 +115,7 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
     results_path = Path(work_dir or ".") / config.exp_name
     checkpoints_path = results_path / "ckpts"
     checkpoints_path.mkdir(parents=True, exist_ok=True)
+    wandb_run = _init_wandb(config, results_path)
 
     rt = config.get("runtime") or {}
     compute_dtype = (
@@ -204,6 +265,7 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
             train_step = make_train_step(
                 model, loss_fn, loss_tag, ma_window_steps, optimizer,
                 compute_dtype=compute_dtype, vocab=vocab, mesh=mesh,
+                autoregression=autoregression,
             )
 
         steps_in_epoch = len(train_loader)
@@ -231,6 +293,17 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                     ((1 / (1 + np.exp(-logits[:, :t]))) >= 0.5)[m].tolist())
                 tgt = batch.target[:, :t]
                 all_targets.extend((tgt >= 0.5)[m].tolist())
+            elif loss_tag in ("ce", "ssl") and vocab is not None:
+                # boundary/non-boundary micro metrics over special-token
+                # positions (reference train.py:495-504)
+                logits = np.asarray(metrics["logits"])
+                tgt = batch.out_target if hasattr(batch, "out_target") else \
+                    batch.target
+                spe = (tgt == vocab.boundary_token_id) | (
+                    tgt == vocab.nonboundary_token_id)
+                pred = (np.argmax(logits, axis=-1) != vocab.boundary_token_id)
+                all_preds.extend(pred[spe].astype(float).tolist())
+                all_targets.extend(tgt[spe].astype(float).tolist())
 
             if (step % int(config.print_every_steps) == 0) or (
                 step == steps_in_epoch
@@ -243,6 +316,8 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                     step, steps_in_epoch, m["loss"], m["accuracy"], m["f1"],
                     m["precision"], m["recall"], sps,
                 )
+                if wandb_run is not None:
+                    wandb_run.log({"epoch": epoch, **m}, step=global_step)
                 all_losses, all_preds, all_targets = [], [], []
 
             if int(config.save_every_steps) and (
@@ -251,12 +326,27 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                 engine.params = state.params
                 results = evaluate(eval_gen, engine, loss_tag, vocab)
                 logger.info("eval @ step %d: %s", global_step, results)
+                if config.get("perform_st_evaluation"):
+                    results.update(_run_st_eval(
+                        config, model, state.params, vocab, compute_dtype,
+                        results_path, f"epoch-{epoch}_step-{global_step}",
+                    ))
                 save_ckpt(f"epoch-{epoch}_step-{global_step}", results)
 
         # end-of-epoch eval + ckpt (reference train.py:654-744)
         engine.params = state.params
         results = evaluate(eval_gen, engine, loss_tag, vocab)
         logger.info("eval @ epoch %d: %s", epoch, results)
+        if wandb_run is not None:
+            wandb_run.log(results)
+
+        # optional in-training ST evaluation (reference train.py:667-691)
+        if config.get("perform_st_evaluation"):
+            results.update(_run_st_eval(
+                config, model, state.params, vocab, compute_dtype,
+                results_path, f"epoch-{epoch}",
+            ))
+
         save_ckpt(f"epoch-{epoch}", results)
 
         # resume state (params + opt + step)
@@ -268,4 +358,6 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                 _yaml.safe_dump({"epoch": epoch + 1,
                                  "global_step": global_step}, f)
 
+    if wandb_run is not None:
+        wandb_run.finish()
     return results

@@ -77,10 +77,22 @@ def compute_bce_loss(logits, target, out_mask, loss_fn, ma_window_steps: int):
 
 def make_train_step(model, loss_fn, loss_tag: str, ma_window_steps: int,
                     optimizer, compute_dtype=jnp.float32, vocab=None,
-                    mesh=None):
+                    mesh=None, autoregression: bool = False):
     """Returns jitted (state, batch_dict, rng) -> (state, metrics)."""
 
     def loss_and_logits(params, batch, rng):
+        if autoregression:
+            # teacher-forced decoder CE, summed (reference train.py:455-459)
+            logits = model.apply(
+                params, batch["audio"], batch["in_lengths"],
+                batch["in_target"], batch["src_mask"], batch["tgt_mask"],
+                deterministic=False, rng=rng, compute_dtype=compute_dtype,
+            )
+            lp = loss_fn(
+                logits.reshape(-1, logits.shape[-1]),
+                batch["out_target"].reshape(-1),
+            )
+            return lp.sum(), logits
         logits = model.apply(
             params, batch["audio"], batch["in_lengths"], batch["out_mask"],
             deterministic=False, rng=rng, compute_dtype=compute_dtype,
