@@ -130,8 +130,13 @@ def segment_wavs(
     tag = algo_conf.pop("tag")
     inference_times = int(config.inference_times)
 
+    import time
+
     yaml_content: list[dict] = []
+    total_audio_secs = 0.0
+    t_all = time.perf_counter()
     for wav_path in tqdm(wav_paths, desc="talks"):
+        t_talk = time.perf_counter()
         dataset = FixedSegmentationDatasetNoTarget(
             wav_path, config.inference_segment_length, inference_times
         )
@@ -159,6 +164,15 @@ def segment_wavs(
         yaml_content = update_yaml_content(
             yaml_content, segments, Path(wav_path).name
         )
+        talk_secs = dataset.duration_inframes / 16000
+        total_audio_secs += talk_secs
+        dt = time.perf_counter() - t_talk
+        logger.info("%s: %.1fs audio in %.2fs (%.0fx RT)",
+                    Path(wav_path).name, talk_secs, dt, talk_secs / dt)
+    wall = time.perf_counter() - t_all
+    if wall > 0 and total_audio_secs:
+        logger.info("segmented %.1fs of audio in %.1fs (%.0fx RT overall)",
+                    total_audio_secs, wall, total_audio_secs / wall)
     return yaml_content
 
 

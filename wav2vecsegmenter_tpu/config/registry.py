@@ -21,6 +21,9 @@ _ALIASES: dict[str, str] = {
     # models (lib/models.py)
     "lib.models.SHAS": "wav2vecsegmenter_tpu.models.shas:SHAS",
     "lib.models.SHASWithSSL": "wav2vecsegmenter_tpu.models.shas:SHASWithSSL",
+    # the reference's shas_ctc config targets a class that does not exist in
+    # the reference (dead config); map it to the CTC-capable SSL backbone
+    "lib.models.SHASWithCTC": "wav2vecsegmenter_tpu.models.shas:SHASWithSSL",
     "lib.models.AutoRegSegmenter": "wav2vecsegmenter_tpu.models.shas:AutoRegSegmenter",
     # dataloader generators (lib/dataset.py)
     "lib.dataset.RandomDataloaderGenerator": (
