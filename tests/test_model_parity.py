@@ -39,9 +39,19 @@ SMALL = dict(
 )
 
 
-def make_hf_model(stable=True):
+def make_hf_model(stable=True, real_geometry=False):
+    """Tiny random HF model; real_geometry uses the true 7-layer 320x conv
+    stack (tiny channels) so the 49.95 Hz frame math holds end to end."""
+    kwargs = dict(SMALL)
+    if real_geometry:
+        kwargs.update(
+            conv_dim=(32,) * 7,
+            conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+            conv_stride=(5, 2, 2, 2, 2, 2, 2),
+            num_feat_extract_layers=7,
+        )
     cfg = transformers.Wav2Vec2Config(
-        **SMALL,
+        **kwargs,
         do_stable_layer_norm=stable,
         feat_extract_norm="layer" if stable else "group",
         conv_bias=stable,
