@@ -98,3 +98,52 @@ def test_orbax_roundtrip(tmp_path):
     restored = restore_orbax(tmp_path / "ckpt", model)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_export_roundtrip(tmp_path):
+    """params -> .pt (reference layout) -> params: identical leaves."""
+    from wav2vecsegmenter_tpu.checkpoints.torch_export import (
+        export_torch_checkpoint,
+    )
+
+    model = _tiny_spec()
+    model.finetune_wav2vec = True  # full layout
+    params = model.init(jax.random.PRNGKey(5))
+    path = export_torch_checkpoint(params, model, tmp_path / "export.pt")
+
+    reloaded = load_model_checkpoint(model, path)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6),
+        params["seg"], reloaded["seg"],
+    )
+    # backbone roundtrip: spot checks across param kinds
+    for key_path in (
+        ("layers", "attn", "q", "w"),
+        ("layers", "ffn", "w1", "b"),
+        ("feature_projection", "proj", "w"),
+        ("pos_conv", "w_v"),
+    ):
+        a = params["wav2vec"]
+        b = reloaded["wav2vec"]
+        for k in key_path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_torch_export_seg_only_layout(tmp_path):
+    from wav2vecsegmenter_tpu.checkpoints.torch_export import (
+        export_torch_checkpoint,
+    )
+    from wav2vecsegmenter_tpu.checkpoints.torch_convert import (
+        is_full_layout,
+        load_torch_state_dict,
+    )
+
+    model = _tiny_spec()  # frozen backbone -> seg-only
+    params = model.init(jax.random.PRNGKey(6))
+    path = export_torch_checkpoint(params, model, tmp_path / "seg.pt")
+    sd = load_torch_state_dict(path)
+    assert not is_full_layout(sd)
+    assert "output_layer.weight" in sd
+    assert "transformer.layers.0.self_attn.in_proj_weight" in sd
