@@ -84,7 +84,8 @@ def main() -> None:
         dataset.fixed_length_segmentation(0)
 
         def run_once():
-            batches = BatchIterator(dataset, batch_size, 20.0, shuffle=False)
+            batches = BatchIterator(dataset, batch_size, 20.0, shuffle=False,
+                                    device_normalize=on_tpu)
             probs, logits, _ = infer_talk(
                 engine, batches, dataset.duration_outframes
             )

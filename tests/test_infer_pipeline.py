@@ -68,3 +68,27 @@ def test_empty_window_probs_zero():
     assert not batch.included[1]
     probs, _, _ = infer_talk(engine, [batch], 100)
     np.testing.assert_array_equal(probs[50:100], 0.0)
+
+
+def test_device_normalize_matches_host_normalize(rng):
+    """int16 upload + on-device normalization == host float path."""
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    engine = WindowInference(model, params)
+
+    examples = []
+    for i in range(3):
+        # int16-representable samples (as real decoders produce)
+        wav = (rng.randint(-3000, 3000, 16000).astype(np.float32) / 32768.0)
+        examples.append((wav, None, i * 50, (i + 1) * 50))
+    # shorter final window exercises norm_length vs true length
+    short = (rng.randint(-3000, 3000, 9000).astype(np.float32) / 32768.0)
+    examples.append((short, None, 150, 178))
+
+    host_batch = collate(examples, 4, 16000, 50, device_normalize=False)
+    dev_batch = collate(examples, 4, 16000, 50, device_normalize=True)
+    assert dev_batch.audio.dtype == np.int16
+
+    p_host, _, _ = infer_talk(engine, [host_batch], 178)
+    p_dev, _, _ = infer_talk(engine, [dev_batch], 178)
+    np.testing.assert_allclose(p_dev, p_host, atol=2e-5)

@@ -148,6 +148,7 @@ def segment_wavs(
                 dataset, int(config.batch_size),
                 float(config.inference_segment_length),
                 shuffle=False,
+                device_normalize=True,
             )
             probs, logits, _ = infer_talk(
                 engine, batches, dataset.duration_outframes

@@ -26,13 +26,17 @@ from ..core.frames import conv_output_length, inframes_to_outframes
 
 @dataclass
 class Batch:
-    audio: np.ndarray        # [B, L_static] float32, normalized
+    audio: np.ndarray        # [B, L_static] float32 normalized, or int16 raw
     in_lengths: np.ndarray   # [B] int32 true sample counts
     target: np.ndarray | None  # [B, T_static] float32
     out_mask: np.ndarray     # [B, T_static] bool
     included: np.ndarray     # [B] bool (False for padding rows / silent windows)
     starts: np.ndarray       # [B] int32 output-space start frames
     ends: np.ndarray         # [B] int32 output-space end frames
+    # device-normalize fast path: audio is int16/float32 *raw* samples and
+    # normalization stats are computed on device over [0, norm_length)
+    norm_length: int = 0
+    device_normalize: bool = False
 
 
 def collate(
@@ -41,11 +45,18 @@ def collate(
     audio_len: int,
     out_len: int,
     pad_token_id: float = 0.0,
+    device_normalize: bool = False,
 ) -> Batch:
-    """examples: list of (waveform, target|None, start, end) numpy tuples."""
+    """examples: list of (waveform, target|None, start, end) numpy tuples.
+
+    With ``device_normalize`` the waveforms are left raw (float32 in [-1,1))
+    and normalization moves into the jitted forward — halving host->device
+    bytes when the engine uploads int16 and keeping the mean/std math on the
+    VPU (see infer/pipeline.py)."""
     n = len(examples)
     assert n <= batch_size
-    audio = np.zeros((batch_size, audio_len), np.float32)
+    audio = np.zeros((batch_size, audio_len),
+                     np.int16 if device_normalize else np.float32)
     in_lengths = np.zeros(batch_size, np.int32)
     included = np.zeros(batch_size, bool)
     starts = np.zeros(batch_size, np.int32)
@@ -61,7 +72,12 @@ def collate(
 
     for i, (wav, tgt, s, e) in enumerate(examples):
         L = len(wav)
-        audio[i, :L] = wav
+        if device_normalize:
+            # exact int16 round-trip (decoders produce int16/32768 floats):
+            # halves host->device bytes; the jitted forward rescales
+            audio[i, :L] = np.rint(wav * 32768.0).astype(np.int16)
+        else:
+            audio[i, :L] = wav
         in_lengths[i] = L
         included[i] = bool(wav.sum())
         starts[i] = s
@@ -78,13 +94,14 @@ def collate(
     # the conv receptive field of frames the reference does NOT mask, so the
     # value is observable.  Samples beyond norm_length (static bucket pad)
     # are outside every unmasked frame's receptive field and stay 0.
-    for i in range(n):
-        if not included[i]:
-            continue
-        row = audio[i, :norm_length]
-        mean = row.mean(dtype=np.float64)
-        std = row.std(ddof=1, dtype=np.float64)
-        audio[i, :norm_length] = ((row - mean) / std).astype(np.float32)
+    if not device_normalize:
+        for i in range(n):
+            if not included[i]:
+                continue
+            row = audio[i, :norm_length]
+            mean = row.mean(dtype=np.float64)
+            std = row.std(ddof=1, dtype=np.float64)
+            audio[i, :norm_length] = ((row - mean) / std).astype(np.float32)
 
     # Replicate the reference's batch-level +-1 frame correction
     # (lib/evaluate.py:62-68): when the conv stack yields fewer frames than
@@ -98,7 +115,8 @@ def collate(
             # shrinking the widest rows' key set in the seg-head attention
             out_mask[:, size2 - 1 :] = False
 
-    return Batch(audio, in_lengths, target, out_mask, included, starts, ends)
+    return Batch(audio, in_lengths, target, out_mask, included, starts, ends,
+                 norm_length=norm_length, device_normalize=device_normalize)
 
 
 def out_len_for(audio_len: int) -> int:

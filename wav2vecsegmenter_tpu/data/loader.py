@@ -52,6 +52,7 @@ class BatchIterator:
         pad_token_id: float = 0.0,
         autoregression: bool = False,
         sep_token_id: int = 3,
+        device_normalize: bool = False,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -63,6 +64,7 @@ class BatchIterator:
         self.pad_token_id = pad_token_id
         self.autoregression = autoregression
         self.sep_token_id = sep_token_id
+        self.device_normalize = device_normalize
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -104,6 +106,7 @@ class BatchIterator:
                             batch = collate(
                                 examples, self.batch_size, audio_len, out_len,
                                 self.pad_token_id,
+                                device_normalize=self.device_normalize,
                             )
                         q.put(batch)
             except BaseException as e:  # surface worker errors to consumer

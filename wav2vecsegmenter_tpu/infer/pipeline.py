@@ -41,12 +41,28 @@ class WindowInference:
         self.mesh = mesh
         self._jitted: dict = {}
 
-    def _make_forward(self):
+    def _make_forward(self, device_normalize: bool = False):
         model = self.model
         loss_tag = self.loss_tag
         compute_dtype = self.compute_dtype
 
-        def forward(params, audio, in_lengths, out_mask):
+        def forward(params, audio, in_lengths, out_mask, norm_length=None,
+                    included=None):
+            if device_normalize:
+                # raw int16 upload (half the tunnel bytes); reference-exact
+                # normalization over [0, norm_length) on the VPU
+                # (lib/datautils.py:120-125 semantics, ddof=1)
+                x = audio.astype(jnp.float32) / 32768.0
+                L = x.shape[1]
+                in_norm = (jnp.arange(L)[None, :] < norm_length)
+                count = norm_length.astype(jnp.float32)
+                mean = jnp.sum(jnp.where(in_norm, x, 0.0), axis=1,
+                               keepdims=True) / count
+                dev = jnp.where(in_norm, x - mean, 0.0)
+                var = jnp.sum(dev * dev, axis=1, keepdims=True) / (count - 1)
+                std = jnp.sqrt(var)
+                xn = jnp.where(std > 0, dev / jnp.maximum(std, 1e-12), 0.0)
+                audio = jnp.where(included[:, None], xn, 0.0)
             logits = model.apply(
                 params, audio, in_lengths, out_mask,
                 deterministic=True, compute_dtype=compute_dtype,
@@ -70,6 +86,12 @@ class WindowInference:
 
             data_sh = batch_sharding(self.mesh)
             rep = replicated(self.mesh)
+            if device_normalize:
+                return jax.jit(
+                    forward,
+                    in_shardings=(rep, data_sh, data_sh, data_sh, rep, data_sh),
+                    out_shardings=(data_sh, data_sh),
+                )
             return jax.jit(
                 forward,
                 in_shardings=(rep, data_sh, data_sh, data_sh),
@@ -78,8 +100,9 @@ class WindowInference:
         return jax.jit(forward)
 
     def run_batch(self, batch: Batch):
-        if "fwd" not in self._jitted:
-            self._jitted["fwd"] = self._make_forward()
+        key = "fwd_norm" if batch.device_normalize else "fwd"
+        if key not in self._jitted:
+            self._jitted[key] = self._make_forward(batch.device_normalize)
         audio = jnp.asarray(batch.audio)
         in_lengths = jnp.asarray(batch.in_lengths)
         out_mask = jnp.asarray(batch.out_mask)
@@ -90,9 +113,20 @@ class WindowInference:
             audio, in_lengths, out_mask = (
                 jax.device_put(x, sh) for x in (audio, in_lengths, out_mask)
             )
-        probs, logits = self._jitted["fwd"](
-            self.params, audio, in_lengths, out_mask
-        )
+        if batch.device_normalize:
+            included = jnp.asarray(batch.included)
+            if self.mesh is not None:
+                from ..parallel.mesh import batch_sharding
+
+                included = jax.device_put(included, batch_sharding(self.mesh))
+            probs, logits = self._jitted[key](
+                self.params, audio, in_lengths, out_mask,
+                jnp.asarray(batch.norm_length, jnp.int32), included,
+            )
+        else:
+            probs, logits = self._jitted[key](
+                self.params, audio, in_lengths, out_mask
+            )
         return probs, logits
 
 
