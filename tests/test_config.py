@@ -89,3 +89,17 @@ def test_instantiate_vocab():
     assert vocab.vocab_size == 4
     assert vocab.boundary_token_id == 0
     assert vocab.pad_token_id == 2
+
+
+def test_all_config_groups_compose():
+    """Every group file in conf/ composes without error."""
+    for group in ("task", "algorithm", "data", "infer_data"):
+        for path in sorted((CONF / group).glob("*.yaml")):
+            cfg = compose(CONF, "train", overrides=[f"{group}={path.stem}"]) \
+                if group in ("task", "data") else \
+                compose(CONF, "segment",
+                        overrides=[f"{group}={path.stem}"])
+            assert cfg is not None, path
+    for path in sorted((CONF / "st_eval").glob("*.yaml")):
+        cfg = compose(CONF, "train", overrides=[f"st_eval={path.stem}"])
+        assert cfg.st_eval.algorithm is not None
