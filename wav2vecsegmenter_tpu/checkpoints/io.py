@@ -78,11 +78,37 @@ def load_model_checkpoint(model, ckpt_path: str | Path,
     if is_full_layout(sd):
         return convert_reference_checkpoint(sd, model)
     params = convert_reference_checkpoint(sd, model)  # {'seg': ...}
-    params["wav2vec"] = load_wav2vec2_pretrained(
-        model.wav2vec_model_name, model.w2v_cfg,
-        allow_random=allow_random_wav2vec,
-    )
+    is_ssl = hasattr(model, "ctc_vocab_size")
+    snap = _hf_local_snapshot(model.wav2vec_model_name)
+    if is_ssl and snap is not None:
+        # SSL variant: the ForCTC pretrained dir also provides the final
+        # encoder LN and the lm_head (reference lib/models.py:488-507)
+        from .torch_convert import convert_hf_for_ctc
+
+        sd_hf = _load_hf_state_dict(snap)
+        params.update(convert_hf_for_ctc(sd_hf, model.w2v_cfg))
+    else:
+        params["wav2vec"] = load_wav2vec2_pretrained(
+            model.wav2vec_model_name, model.w2v_cfg,
+            allow_random=allow_random_wav2vec,
+        )
+        if is_ssl:
+            # no pretrained source: random final_ln/lm_head to complete the
+            # tree (allow_random path)
+            init = model.init(jax.random.PRNGKey(0))
+            params.setdefault("final_ln", init["final_ln"])
+            params.setdefault("lm_head", init["lm_head"])
     return params
+
+
+def _load_hf_state_dict(model_dir: Path) -> dict:
+    st_path = model_dir / "model.safetensors"
+    bin_path = model_dir / "pytorch_model.bin"
+    if st_path.exists():
+        from safetensors.numpy import load_file
+
+        return load_file(str(st_path))
+    return load_torch_state_dict(bin_path)
 
 
 # ---------------------------------------------------------------------------

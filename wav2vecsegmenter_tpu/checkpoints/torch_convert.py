@@ -187,6 +187,21 @@ def convert_torch_sfc(sd: dict, n_layers: int, prefix: str = "") -> dict:
 # reference .pt checkpoints
 # --------------------------------------------------------------------------
 
+def convert_hf_for_ctc(sd: dict, cfg: Wav2Vec2Config,
+                       prefix: str = "") -> dict:
+    """HF Wav2Vec2ForCTC state dict -> {wav2vec, final_ln, lm_head} for
+    SHASWithSSL (reference HFWav2Vec2ForCTC wrapper, lib/models.py:488-507:
+    the backbone keeps its final encoder LayerNorm; CTC logits come from
+    lm_head on the post-LN hidden states)."""
+    p = prefix
+    out = {
+        "wav2vec": convert_hf_wav2vec2(sd, cfg, prefix=f"{p}wav2vec2."),
+        "final_ln": _lnorm(sd, f"{p}wav2vec2.encoder.layer_norm"),
+        "lm_head": _lin(sd, f"{p}lm_head"),
+    }
+    return out
+
+
 def load_torch_state_dict(path: str | Path) -> dict:
     import torch
 
@@ -203,8 +218,16 @@ def is_full_layout(sd: dict) -> bool:
 
 def convert_reference_checkpoint(sd: dict, model) -> dict:
     """Reference SHAS .pt state dict -> full params pytree for ``model``
-    (a models.shas.SHAS spec).  Handles both layouts (train.py:596-613)."""
+    (a models.shas spec).  Handles both layouts (train.py:596-613) and the
+    SSL variant's ForCTC nesting."""
     if is_full_layout(sd):
+        if any(k.startswith("wav2vec_model.model.wav2vec2.") for k in sd):
+            # SHASWithSSL full layout (ForCTC backbone)
+            out = convert_hf_for_ctc(sd, model.w2v_cfg,
+                                     prefix="wav2vec_model.model.")
+            out["seg"] = convert_torch_sfc(sd, model.n_enc_layers,
+                                           prefix="seg_model.")
+            return out
         w2v = convert_hf_wav2vec2(sd, model.w2v_cfg, prefix="wav2vec_model.model.")
         seg = convert_torch_sfc(sd, model.n_enc_layers, prefix="seg_model.")
         return {"wav2vec": w2v, "seg": seg}
