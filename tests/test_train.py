@@ -203,3 +203,44 @@ def test_gradient_accumulation_multisteps(rng):
     np.testing.assert_array_equal(p0, np.asarray(state.params["seg"]["out"]["w"]))
     state, _ = step(state, batch, jax.random.PRNGKey(99))  # 4th: update fires
     assert not np.allclose(p0, np.asarray(state.params["seg"]["out"]["w"]))
+
+
+def test_train_step_device_normalize_matches_host(rng):
+    """int16 upload + on-device normalization in the train step produces the
+    same loss as pre-normalized float batches."""
+    from wav2vecsegmenter_tpu.data.collate import collate
+
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    mask = model.trainable_mask(params)
+
+    examples = []
+    for i in range(2):
+        wav = (rng.randint(-4000, 4000, 16000).astype(np.float32) / 32768.0)
+        tgt = np.zeros(50, np.float32)
+        tgt[:25] = 1.0
+        examples.append((wav, tgt, i * 50, (i + 1) * 50))
+
+    def run(device_normalize):
+        params2 = jax.tree.map(jnp.copy, params)
+        opt = make_optimizer(1e-3, 100, 1, mask)
+        state = init_train_state(model, opt, jax.random.PRNGKey(1), params2)
+        step = make_train_step(model, BCEWithLogitsLoss(None), "bce", 0, opt,
+                               device_normalize=device_normalize)
+        b = collate(examples, 2, 16000, 50,
+                    device_normalize=device_normalize)
+        batch = {
+            "audio": jnp.asarray(b.audio),
+            "in_lengths": jnp.asarray(b.in_lengths),
+            "target": jnp.asarray(b.target),
+            "out_mask": jnp.asarray(b.out_mask),
+        }
+        if device_normalize:
+            batch["included"] = jnp.asarray(b.included)
+            batch["norm_length"] = jnp.asarray(b.norm_length, jnp.int32)
+        _, metrics = step(state, batch, jax.random.PRNGKey(2))
+        return float(metrics["loss"])
+
+    l_host = run(False)
+    l_dev = run(True)
+    assert l_dev == pytest.approx(l_host, rel=1e-5)

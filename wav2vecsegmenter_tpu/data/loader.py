@@ -141,7 +141,9 @@ class RandomDataloaderGenerator:
         autoregression: bool = False,
         vocab=None,
         seed: int | None = None,
+        device_normalize: bool = False,
     ) -> None:
+        self.device_normalize = device_normalize
         self.talk_list = talk_list
         self.segments_list = segments_list
         self.segment_length = segment_length
@@ -167,6 +169,7 @@ class RandomDataloaderGenerator:
             pad_token_id=self.vocab.pad_token_id if self.vocab else 0.0,
             autoregression=self.autoregression,
             sep_token_id=self.vocab.sep_token_id if self.vocab else 3,
+            device_normalize=self.device_normalize and not self.autoregression,
         )
 
 
@@ -183,7 +186,9 @@ class FixedDataloaderGenerator:
         inference_times: int = 1,
         autoregression: bool = False,
         vocab=None,
+        device_normalize: bool = False,
     ) -> None:
+        self.device_normalize = device_normalize
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.segment_length = segment_length
@@ -207,6 +212,7 @@ class FixedDataloaderGenerator:
             pad_token_id=self.vocab.pad_token_id if self.vocab else 0.0,
             autoregression=self.autoregression,
             sep_token_id=self.vocab.sep_token_id if self.vocab else 3,
+            device_normalize=self.device_normalize and not self.autoregression,
         )
 
     def get_talk_ids(self) -> list:

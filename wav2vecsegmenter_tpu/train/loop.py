@@ -55,10 +55,19 @@ def _batch_to_device(batch, mesh):
             np.zeros_like(batch.out_mask, np.float32),
             "out_mask": batch.out_mask,
         }
+        if batch.device_normalize:
+            arrays["included"] = batch.included
+            arrays["norm_length"] = np.asarray(batch.norm_length, np.int32)
     if mesh is None:
         return {k: jnp.asarray(v) for k, v in arrays.items()}
+    from ..parallel.mesh import replicated
+
     sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in arrays.items()}
+    rep = replicated(mesh)
+    return {
+        k: jax.device_put(v, rep if k == "norm_length" else sh)
+        for k, v in arrays.items()
+    }
 
 
 def _run_st_eval(config, model, params, vocab, compute_dtype, results_path,
@@ -129,6 +138,10 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
     set_backend(rt.get("kernels", "auto"))
     seed = int(rt.get("seed", 0))
 
+    # raw int16 upload + on-device normalization for train batches (halves
+    # host->device bytes); parity-sensitive runs can disable it
+    device_normalize = bool(rt.get(
+        "device_normalize", jax.default_backend() == "tpu"))
     mesh_conf = rt.get("mesh") or {}
     n_data = int(mesh_conf.get("data", -1) or -1)
     n_devices = len(jax.devices()) if n_data == -1 else n_data
@@ -147,6 +160,7 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
     train_gen = instantiate(
         merge(merge(config.task.train_generator, config.data.train), device_conf),
         autoregression=autoregression, vocab=vocab,
+        device_normalize=device_normalize,
     )
     eval_gen = instantiate(
         merge(merge(config.task.eval_generator, config.data.eval), device_conf),
@@ -266,6 +280,7 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                 model, loss_fn, loss_tag, ma_window_steps, optimizer,
                 compute_dtype=compute_dtype, vocab=vocab, mesh=mesh,
                 autoregression=autoregression,
+                device_normalize=device_normalize,
             )
 
         steps_in_epoch = len(train_loader)

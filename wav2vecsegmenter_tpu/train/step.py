@@ -77,10 +77,28 @@ def compute_bce_loss(logits, target, out_mask, loss_fn, ma_window_steps: int):
 
 def make_train_step(model, loss_fn, loss_tag: str, ma_window_steps: int,
                     optimizer, compute_dtype=jnp.float32, vocab=None,
-                    mesh=None, autoregression: bool = False):
+                    mesh=None, autoregression: bool = False,
+                    device_normalize: bool = False):
     """Returns jitted (state, batch_dict, rng) -> (state, metrics)."""
 
+    def normalize_audio(batch):
+        # raw int16 upload + reference-exact normalization on device
+        # (see infer/pipeline.py; halves host->device bytes per step)
+        x = batch["audio"].astype(jnp.float32) / 32768.0
+        L = x.shape[1]
+        in_norm = jnp.arange(L)[None, :] < batch["norm_length"]
+        count = batch["norm_length"].astype(jnp.float32)
+        mean = jnp.sum(jnp.where(in_norm, x, 0.0), axis=1,
+                       keepdims=True) / count
+        dev = jnp.where(in_norm, x - mean, 0.0)
+        var = jnp.sum(dev * dev, axis=1, keepdims=True) / (count - 1)
+        std = jnp.sqrt(var)
+        xn = jnp.where(std > 0, dev / jnp.maximum(std, 1e-12), 0.0)
+        return jnp.where(batch["included"][:, None], xn, 0.0)
+
     def loss_and_logits(params, batch, rng):
+        if device_normalize and not autoregression:
+            batch = {**batch, "audio": normalize_audio(batch)}
         if autoregression:
             # teacher-forced decoder CE, summed (reference train.py:455-459)
             logits = model.apply(
@@ -144,6 +162,14 @@ def make_train_step(model, loss_fn, loss_tag: str, ma_window_steps: int,
             "audio": data_sh, "in_lengths": data_sh, "target": data_sh,
             "out_mask": data_sh,
         }
+        if device_normalize and not autoregression:
+            batch_shardings.update({"norm_length": rep, "included": data_sh})
+        if autoregression:
+            batch_shardings = {
+                "audio": data_sh, "in_lengths": data_sh, "in_target": data_sh,
+                "out_target": data_sh, "src_mask": data_sh,
+                "tgt_mask": data_sh,
+            }
         return jax.jit(
             step_fn,
             in_shardings=(state_sh, batch_shardings, rep),
