@@ -189,6 +189,13 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
 
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     logger.info("Model parameters: %.1fM", n_params / 1e6)
+    try:
+        from ..models.summary import summarize
+
+        logger.info("Model summary:\n%s",
+                    summarize(params, model.trainable_mask(params)))
+    except Exception as e:  # summary is informational only
+        logger.debug("summary failed: %s", e)
 
     # first loader to approximate total steps (reference train.py:321-332)
     if hasattr(train_gen, "get_talk_ids"):
