@@ -132,6 +132,17 @@ def segment_wavs(
 
     import time
 
+    # optional jax.profiler capture of the first talk
+    # (runtime.profile_dir, SURVEY §5.1 observability)
+    rt = config.get("runtime") or {}
+    profile_dir = rt.get("profile_dir")
+    profiling = False
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(str(profile_dir))
+        profiling = True
+
     yaml_content: list[dict] = []
     total_audio_secs = 0.0
     t_all = time.perf_counter()
@@ -170,6 +181,13 @@ def segment_wavs(
         dt = time.perf_counter() - t_talk
         logger.info("%s: %.1fs audio in %.2fs (%.0fx RT)",
                     Path(wav_path).name, talk_secs, dt, talk_secs / dt)
+        if profiling:
+            import jax
+
+            jax.profiler.stop_trace()
+            profiling = False
+            logger.info("profiler trace of first talk written to %s",
+                        profile_dir)
     wall = time.perf_counter() - t_all
     if wall > 0 and total_audio_secs:
         logger.info("segmented %.1fs of audio in %.1fs (%.0fx RT overall)",

@@ -22,6 +22,7 @@ def evaluate(
 ) -> dict[str, float]:
     all_preds = np.array([], dtype=bool)
     all_targets = np.array([])
+    all_losses: list[float] = []
 
     talk_ids = dataloader_generator.get_talk_ids()
     inference_times = dataloader_generator.dataset.inference_times
@@ -32,11 +33,14 @@ def evaluate(
         probs = logits = targets = None
         for iteration in range(inference_times):
             batches = dataloader_generator.generate(talk_id, iteration)
-            p, l, t = infer_talk(
+            p, l, t, loss = infer_talk(
                 engine, batches,
                 dataloader_generator.dataset.duration_outframes,
                 collect_targets=True,
+                return_loss=True,
             )
+            if loss is not None:
+                all_losses.append(loss)
             if probs is None:
                 probs, logits, targets = p.copy(), l.copy(), t.copy()
             else:
@@ -61,7 +65,11 @@ def evaluate(
 
     all_targets = all_targets.astype(bool)
     all_preds = all_preds.astype(bool)
+    results_loss = (
+        {"eval_loss": float(np.mean(all_losses))} if all_losses else {}
+    )
     return {
+        **results_loss,
         "eval_accuracy": round(f1_score(all_targets, all_preds, average="micro"), 4),
         "eval_f1": round(f1_score(all_targets, all_preds, average="binary"), 4),
         "eval_precision": round(precision_score(all_targets, all_preds), 4),

@@ -32,13 +32,14 @@ class WindowInference:
 
     def __init__(self, model, params, loss_tag: str = "bce",
                  compute_dtype=jnp.float32, vocab=None,
-                 donate: bool = False, mesh=None):
+                 donate: bool = False, mesh=None, loss_fn=None):
         self.model = model
         self.params = params
         self.loss_tag = loss_tag
         self.compute_dtype = compute_dtype
         self.vocab = vocab
         self.mesh = mesh
+        self.loss_fn = loss_fn  # optional: per-batch eval loss (bce only)
         self._jitted: dict = {}
 
     def _make_forward(self, device_normalize: bool = False):
@@ -99,6 +100,20 @@ class WindowInference:
             )
         return jax.jit(forward)
 
+    def batch_loss(self, batch: Batch, logits) -> float:
+        """Masked BCE eval loss of one batch (reference lib/evaluate.py:74-81:
+        per-point loss, zeroed at ~out_mask, summed per row, batch mean)."""
+        import numpy as np
+
+        if self.loss_fn is None or batch.target is None:
+            return float("nan")
+        lg = np.asarray(logits)
+        t = min(lg.shape[1], batch.target.shape[1])
+        lpp = np.asarray(self.loss_fn(jnp.asarray(lg[:, :t]),
+                                      jnp.asarray(batch.target[:, :t])))
+        lpp = np.where(batch.out_mask[:, :t], lpp, 0.0)
+        return float(lpp.sum(axis=1).mean())
+
     def run_batch(self, batch: Batch):
         key = "fwd_norm" if batch.device_normalize else "fwd"
         if key not in self._jitted:
@@ -144,10 +159,11 @@ def infer_talk(
     batches,
     duration_outframes: int,
     collect_targets: bool = False,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return_loss: bool = False,
+):
     """Run all window batches of one talk and stitch.
 
-    Returns (talk_probs, talk_logits, talk_targets) as float64/float32 numpy
+    Returns (talk_probs, talk_logits, talk_targets[, avg_loss]) as numpy
     arrays of length duration_outframes.
     """
     vocab_size = getattr(engine.model, "vocab_size", 1)
@@ -163,9 +179,13 @@ def infer_talk(
         probs_d, logits_d = engine.run_batch(batch)
         pending.append((probs_d, logits_d, batch))
 
+    all_losses = []
+
     for probs_d, logits_d, batch in pending:
         probs = np.asarray(probs_d)
         logits = np.asarray(logits_d)
+        if return_loss and engine.loss_fn is not None:
+            all_losses.append(engine.batch_loss(batch, logits))
         for i in range(len(probs)):
             start, end = int(batch.starts[i]), int(batch.ends[i])
             if batch.included[i] and end > start:
@@ -181,4 +201,7 @@ def infer_talk(
     nan_fill(talk_probs, duration_outframes)
     nan_fill(talk_logits, duration_outframes)
 
+    if return_loss:
+        avg = float(np.mean(all_losses)) if all_losses else None
+        return talk_probs, talk_logits, talk_targets, avg
     return talk_probs, talk_logits, talk_targets

@@ -282,6 +282,8 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
         if loss_tag == "bce" and pos_pct is not None:
             logger.info("pos_class_percentage = %s", pos_pct)
 
+        if loss_tag == "bce":
+            engine.loss_fn = loss_fn
         if train_step is None:
             train_step = make_train_step(
                 model, loss_fn, loss_tag, ma_window_steps, optimizer,
