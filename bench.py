@@ -43,7 +43,7 @@ def main() -> None:
     # Random weights: throughput is weight-independent.
     keep_layers = 24 if on_tpu else 2
     talk_secs = float(os.environ.get("BENCH_TALK_SECS", 600 if on_tpu else 60))
-    batch_size = int(os.environ.get("BENCH_BATCH", 14))
+    batch_size = int(os.environ.get("BENCH_BATCH", 16))
 
     model = SHAS(
         wav2vec_model_name="facebook/wav2vec2-xls-r-300m",
