@@ -7,7 +7,7 @@ round to 6 decimals when converting to seconds.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -15,11 +15,9 @@ import os
 from pathlib import Path
 
 import jax
-import numpy as np
 
 from ..models.wav2vec2 import Wav2Vec2Config
 from .torch_convert import (
-    convert_hf_wav2vec2,
     convert_reference_checkpoint,
     is_full_layout,
     load_hf_pretrained_dir,

@@ -23,8 +23,7 @@ from ..algorithms import (
     update_yaml_content,
 )
 from ..checkpoints.io import load_model_checkpoint
-from ..config import Config, compose, instantiate, to_plain, to_yaml
-from ..data.collate import out_len_for
+from ..config import Config, instantiate, to_plain, to_yaml
 from ..data.datasets import FixedSegmentationDatasetNoTarget
 from ..data.loader import BatchIterator
 from ..infer.pipeline import WindowInference, infer_talk

@@ -11,7 +11,6 @@ where working_dir holds __translation, __mreference, custom_segments.yaml.
 from __future__ import annotations
 
 import csv
-import os
 import subprocess
 import sys
 from pathlib import Path

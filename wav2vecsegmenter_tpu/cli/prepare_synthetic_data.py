@@ -23,11 +23,10 @@ import subprocess
 import time
 from pathlib import Path
 
-import numpy as np
 import yaml
 
 from ..algorithms import pdac_tree, update_tree_yaml_content
-from ..config import Config, load_config
+from ..config import load_config
 from ..data.datasets import FixedSegmentationDatasetNoTarget
 from ..data.loader import BatchIterator
 from ..infer.pipeline import WindowInference, infer_talk

@@ -11,7 +11,6 @@ The training run's saved config is merged under the CLI config
 
 from __future__ import annotations
 
-import sys
 from pathlib import Path
 
 import yaml

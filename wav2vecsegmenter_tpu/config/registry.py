@@ -14,7 +14,7 @@ from __future__ import annotations
 import importlib
 from typing import Any, Callable
 
-from .config import Config, to_plain
+from .config import to_plain
 
 # reference-target -> "module:attr" within this package
 _ALIASES: dict[str, str] = {

@@ -13,17 +13,12 @@ collate.py and threading in loader.py.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import numpy as np
 import pandas as pd
 
-from ..core.frames import (
-    inframes_to_outframes,
-    secs_to_inframes,
-)
+from ..core.frames import inframes_to_outframes
 from ..core.windows import fixed_window_grid, random_window_grid
-from .audio import assert_sample_rate, read_wav_window, wav_info
+from .audio import assert_sample_rate, read_wav_window
 
 
 class SegmentationCorpus:

@@ -20,7 +20,7 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from ..core.frames import secs_to_inframes
-from .collate import Batch, collate, collate_autoreg, out_len_for
+from .collate import collate, collate_autoreg, out_len_for
 from .datasets import (
     FixedSegmentationDataset,
     RandomSegmentationDataset,

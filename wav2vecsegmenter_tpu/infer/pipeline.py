@@ -13,8 +13,6 @@ Stitching/NaN-fill semantics replicate reference lib/evaluate.py:9-127.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

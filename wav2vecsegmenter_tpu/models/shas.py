@@ -15,7 +15,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..constants import HIDDEN_SIZE
 from .sfc import init_sfc_params, sfc_forward
 from .wav2vec2 import (
     Wav2Vec2Config,

@@ -24,11 +24,9 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.attention import attention
 from ..ops.layernorm import layer_norm

@@ -27,7 +27,7 @@ from ..eval.metrics import evaluate, train_step_metrics
 from ..infer.pipeline import WindowInference
 from ..parallel.mesh import make_mesh
 from .loss import build_loss
-from .step import TrainState, init_train_state, make_optimizer, make_train_step
+from .step import init_train_state, make_optimizer, make_train_step
 
 logger = logging.getLogger("wav2vecsegmenter_tpu")
 

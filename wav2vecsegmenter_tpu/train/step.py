@@ -12,14 +12,13 @@ Replaces the reference's eager loop body (train.py:381-480):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.mesh import batch_sharding, replicated
 from .loss import moving_average_jax
 
 
