@@ -14,6 +14,13 @@ import os
 def setup_compilation_cache(cache_dir: str | None = None) -> None:
     import jax
 
+    try:
+        if jax.default_backend() != "tpu":
+            # CPU AOT cache entries embed host machine features and can
+            # SIGILL when loaded on a different host — cache TPU only
+            return
+    except Exception:
+        return
     cache_dir = cache_dir or os.environ.get(
         "W2VSEG_JAX_CACHE",
         os.path.expanduser("~/.cache/w2vseg_jax_cache"),
