@@ -49,3 +49,50 @@ def test_attention_no_mask(rng):
     with pltpu.force_tpu_interpret_mode():
         got = attention_pallas(q, k, v, None, d ** -0.5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_attention_pallas_gradients_match_xla(rng):
+    """custom_vjp backward kernel vs autodiff through the XLA path."""
+    b, h, t, d = 2, 2, 96, 32
+    q = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+    lens = np.array([96, 50])
+    mask = jnp.asarray(np.arange(t)[None, :] < lens[:, None])
+    scale = d ** -0.5
+    cot = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+    # zero cotangent at invalid queries (their outputs are unspecified)
+    cot = jnp.where(mask[:, None, :, None], cot, 0.0)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention_xla(q, k, v, mask, scale) * cot)
+
+    def loss_pl(q, k, v):
+        return jnp.sum(attention_pallas(q, k, v, mask, scale) * cot)
+
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-4, rtol=1e-3)
+
+
+def test_layer_norm_pallas_gradients_match_xla(rng):
+    x = jnp.asarray(rng.randn(3, 70, 128).astype(np.float32))
+    scale = jnp.asarray(rng.randn(128).astype(np.float32))
+    bias = jnp.asarray(rng.randn(128).astype(np.float32))
+    cot = jnp.asarray(rng.randn(3, 70, 128).astype(np.float32))
+
+    def loss_xla(x, s, b):
+        return jnp.sum(layer_norm_xla(x, s, b) * cot)
+
+    def loss_pl(x, s, b):
+        return jnp.sum(layer_norm_pallas(x, s, b) * cot)
+
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, scale, bias)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_pl, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-4, rtol=1e-3)

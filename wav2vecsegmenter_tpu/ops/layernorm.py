@@ -39,6 +39,97 @@ def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float):
     o_ref[:] = (y * scale_ref[:] + bias_ref[:]).astype(o_ref.dtype)
 
 
+def _ln_bwd_kernel(x_ref, scale_ref, g_ref, dx_ref, dscale_ref, dbias_ref,
+                   *, eps: float):
+    """Fused LN backward per row block; dscale/dbias accumulate across the
+    grid (revisited output blocks, constant index map)."""
+    i = pl.program_id(0)
+    x = x_ref[:].astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)
+    h = x.shape[-1]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean) * rstd
+
+    gs = g * scale_ref[:][None, :]
+    m1 = jnp.mean(gs, axis=-1, keepdims=True)
+    m2 = jnp.mean(gs * xhat, axis=-1, keepdims=True)
+    dx = (gs - m1 - xhat * m2) * rstd
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dscale_ref[:] = jnp.zeros_like(dscale_ref[:])
+        dbias_ref[:] = jnp.zeros_like(dbias_ref[:])
+
+    dscale_ref[:] += jnp.sum(g * xhat, axis=0).astype(dscale_ref.dtype)
+    dbias_ref[:] += jnp.sum(g, axis=0).astype(dbias_ref.dtype)
+
+
+def _ln_fwd_call(x2, scale, bias, eps, block_rows):
+    padded_rows, h = x2.shape
+    return pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((padded_rows, h), x2.dtype),
+        grid=(padded_rows // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, h), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(x2, scale, bias)
+
+
+def _ln_bwd_call(x2, scale, g2, eps, block_rows):
+    padded_rows, h = x2.shape
+    dx, dscale, dbias = pl.pallas_call(
+        functools.partial(_ln_bwd_kernel, eps=eps),
+        out_shape=(
+            jax.ShapeDtypeStruct((padded_rows, h), jnp.float32),
+            jax.ShapeDtypeStruct((h,), jnp.float32),
+            jax.ShapeDtypeStruct((h,), jnp.float32),
+        ),
+        grid=(padded_rows // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ),
+    )(x2, scale, g2)
+    return dx, dscale, dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ln_2d(x2, scale, bias, eps, block_rows):
+    return _ln_fwd_call(x2, scale, bias, eps, block_rows)
+
+
+def _ln_2d_fwd(x2, scale, bias, eps, block_rows):
+    return _ln_fwd_call(x2, scale, bias, eps, block_rows), (x2, scale)
+
+
+def _ln_2d_bwd(eps, block_rows, res, g):
+    x2, scale = res
+    dx, dscale, dbias = _ln_bwd_call(x2, scale, g, eps, block_rows)
+    return (dx.astype(x2.dtype), dscale.astype(scale.dtype),
+            dbias.astype(scale.dtype))
+
+
+_ln_2d.defvjp(_ln_2d_fwd, _ln_2d_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "block_rows"))
 def layer_norm_pallas(x: jax.Array, scale: jax.Array, bias: jax.Array,
                       eps: float = _EPS, block_rows: int = 256) -> jax.Array:
@@ -55,20 +146,7 @@ def layer_norm_pallas(x: jax.Array, scale: jax.Array, bias: jax.Array,
     if padded_rows != rows:
         x2 = jnp.pad(x2, ((0, padded_rows - rows), (0, 0)))
 
-    out = pl.pallas_call(
-        functools.partial(_ln_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((padded_rows, h), x.dtype),
-        grid=(padded_rows // block_rows,),
-        in_specs=[
-            pl.BlockSpec((block_rows, h), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((h,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h,), lambda i: (0,), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_rows, h), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )(x2, scale, bias)
-
+    out = _ln_2d(x2, scale, bias, eps, block_rows)
     return out[:rows].reshape(orig_shape)
 
 
