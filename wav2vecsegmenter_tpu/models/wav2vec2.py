@@ -301,13 +301,15 @@ def positional_conv(params: dict, x: jax.Array, cfg: Wav2Vec2Config,
     w = _pos_conv_weight(params["pos_conv"])  # [out, in/groups, k] torch layout
     w = jnp.transpose(w, (2, 1, 0)).astype(compute_dtype)  # [k, in/groups, out]
     pad = cfg.num_conv_pos_embeddings // 2
+    # no preferred_element_type: its VJP produces an f32 cotangent against
+    # bf16 operands and conv_general_dilated rejects the mix; the MXU still
+    # accumulates in f32 internally for bf16 inputs
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype), w,
         window_strides=(1,),
         padding=[(pad, pad)],
         dimension_numbers=("NHC", "HIO", "NHC"),
         feature_group_count=cfg.num_conv_pos_embedding_groups,
-        preferred_element_type=jnp.float32,
     ).astype(compute_dtype)
     y = y + params["pos_conv"]["b"].astype(compute_dtype)
     if cfg.num_conv_pos_embeddings % 2 == 0:  # even kernel: drop last step
