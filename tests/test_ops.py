@@ -96,3 +96,38 @@ def test_layer_norm_pallas_gradients_match_xla(rng):
     for a, b_ in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=3e-4, rtol=1e-3)
+
+
+def test_full_model_grads_pallas_vs_xla(rng):
+    """End-to-end gradient through the tiny SHAS with pallas kernels
+    (interpret) == XLA kernels — guards the TPU fine-tuning path."""
+    from wav2vecsegmenter_tpu.ops import backend as backend_mod
+    from wav2vecsegmenter_tpu.train.loss import BCEWithLogitsLoss
+    from wav2vecsegmenter_tpu.train.step import compute_bce_loss
+
+    from .helpers import tiny_shas
+
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    audio = jnp.asarray(rng.randn(2, 16000).astype(np.float32))
+    lens = jnp.full((2,), 16000, jnp.int32)
+    out_mask = jnp.ones((2, 50), bool)
+    target = jnp.asarray((rng.rand(2, 50) > 0.5).astype(np.float32))
+    loss_fn = BCEWithLogitsLoss(None)
+
+    def loss(params):
+        logits = model.apply(params, audio, lens, out_mask)
+        return compute_bce_loss(logits, target, out_mask, loss_fn, 0)
+
+    backend_mod.set_backend("xla")
+    g_xla = jax.grad(loss)(params)
+    backend_mod.set_backend("pallas")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            g_pl = jax.grad(loss)(params)
+    finally:
+        backend_mod.set_backend("auto")
+
+    for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3)
