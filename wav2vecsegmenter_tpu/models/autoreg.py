@@ -130,6 +130,8 @@ class AutoRegSegmenterImpl:
             params["wav2vec"], audio, in_lengths, self.w2v_cfg,
             deterministic=deterministic, rng=rng, compute_dtype=compute_dtype,
         )
+        if not self.finetune_wav2vec:
+            h = jax.lax.stop_gradient(h)
         seg = params["seg"]
         x = h.astype(compute_dtype)
 

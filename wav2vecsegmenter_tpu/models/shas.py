@@ -106,7 +106,18 @@ class SHAS:
             params["wav2vec"], audio, in_lengths, self.w2v_cfg,
             deterministic=deterministic, rng=rngs[0],
             compute_dtype=compute_dtype,
+            freeze_feature_encoder=(
+                self.finetune_wav2vec and not self.finetune_w2v_feat_enc),
+            n_frozen_layers=(
+                max(0, self.keep_layers - self.wav2vec_ft_layers)
+                if self.finetune_wav2vec else 0),
+            freeze_ffn=(
+                self.finetune_wav2vec and not self.finetune_w2v_ffn),
         )
+        if not self.finetune_wav2vec:
+            # frozen backbone: requires_grad=False equivalent — skips the
+            # whole wav2vec backward (reference lib/models.py:335-337)
+            h = jax.lax.stop_gradient(h)
         t_out = out_mask.shape[1]
         t_conv = h.shape[1]
         if t_conv > t_out:
@@ -249,6 +260,8 @@ class SHASWithSSL:
             deterministic=deterministic, rng=rngs[0],
             compute_dtype=compute_dtype,
         )
+        if not self.finetune_wav2vec:
+            h = jax.lax.stop_gradient(h)
         # HF Wav2Vec2ForCTC: final encoder LN then lm_head on last hidden
         h_ln = layer_norm(h, params["final_ln"]["scale"],
                           params["final_ln"]["bias"])

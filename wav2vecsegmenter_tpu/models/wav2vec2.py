@@ -341,11 +341,18 @@ def _mha(layer_attn: dict, x: jax.Array, key_mask: jax.Array | None,
 
 def encoder(params: dict, x: jax.Array, frame_mask: jax.Array,
             cfg: Wav2Vec2Config, *, deterministic=True, rng=None,
-            compute_dtype=jnp.float32) -> jax.Array:
+            compute_dtype=jnp.float32, n_frozen_layers: int = 0,
+            freeze_ffn: bool = False) -> jax.Array:
     """Transformer encoder over extracted features.
 
     x [B, T, H], frame_mask [B, T] bool.  Final encoder LayerNorm is NOT
     applied (truncation semantics of reference lib/models.py:347-349).
+
+    ``n_frozen_layers`` / ``freeze_ffn`` wrap the corresponding stacked
+    params in stop_gradient — the requires_grad=False equivalent of the
+    reference's LNA freezing (lib/models.py:358-365).  Activations still
+    backprop through frozen layers (pos_conv below them stays trainable),
+    but their weight-gradient matmuls are never emitted.
     """
     eps = cfg.layer_norm_eps
     x = jnp.where(frame_mask[:, :, None], x, 0)
@@ -407,8 +414,26 @@ def encoder(params: dict, x: jax.Array, frame_mask: jax.Array,
                            eps)
         return (h, i + 1), None
 
-    (x, _), _ = jax.lax.scan(layer_body, (x.astype(compute_dtype), 0),
-                             params["layers"])
+    layers = params["layers"]
+    n_total = jax.tree.leaves(layers)[0].shape[0]
+    n_frozen = max(0, min(n_frozen_layers, n_total))
+
+    def freeze_tree(tree, ffn_only: bool):
+        if not ffn_only:
+            return jax.tree.map(jax.lax.stop_gradient, tree)
+        out = dict(tree)
+        if freeze_ffn and "ffn" in out:
+            out["ffn"] = jax.tree.map(jax.lax.stop_gradient, tree["ffn"])
+        return out
+
+    carry = (x.astype(compute_dtype), 0)
+    if n_frozen:
+        frozen = jax.tree.map(lambda a: a[:n_frozen], layers)
+        carry, _ = jax.lax.scan(layer_body, carry, freeze_tree(frozen, False))
+    if n_frozen < n_total:
+        rest = jax.tree.map(lambda a: a[n_frozen:], layers)
+        carry, _ = jax.lax.scan(layer_body, carry, freeze_tree(rest, True))
+    x, _ = carry
     return x
 
 
@@ -421,8 +446,18 @@ def wav2vec2_forward(
     deterministic: bool = True,
     rng: jax.Array | None = None,
     compute_dtype=jnp.float32,
+    freeze_feature_encoder: bool = False,
+    n_frozen_layers: int = 0,
+    freeze_ffn: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Full encoder: returns (hidden [B, T, H] float32, frame_mask [B, T])."""
+    """Full encoder: returns (hidden [B, T, H] float32, frame_mask [B, T]).
+
+    ``freeze_feature_encoder`` inserts a stop_gradient after the feature
+    projection — the functional equivalent of the reference's
+    requires_grad=False on the conv stack + projection
+    (lib/models.py:352-357).  Besides parity, this skips the conv-stack
+    backward entirely (its im2col transpose is the most expensive backward
+    in the model and is dead weight when those params are frozen)."""
     feats = feature_extractor(params, audio, cfg, compute_dtype)
     t = feats.shape[1]
 
@@ -438,6 +473,8 @@ def wav2vec2_forward(
                        cfg.layer_norm_eps)
     x = feats @ fp["proj"]["w"].astype(compute_dtype) + \
         fp["proj"]["b"].astype(compute_dtype)
+    if freeze_feature_encoder:
+        x = jax.lax.stop_gradient(x)
     if not deterministic and rng is not None:
         rng, sub = jax.random.split(rng)
         x = _dropout(x, cfg.feat_proj_dropout, deterministic, sub)
@@ -454,5 +491,6 @@ def wav2vec2_forward(
                       params["masked_spec_embed"].astype(x.dtype), x)
 
     h = encoder(params, x, frame_mask, cfg, deterministic=deterministic,
-                rng=rng, compute_dtype=compute_dtype)
+                rng=rng, compute_dtype=compute_dtype,
+                n_frozen_layers=n_frozen_layers, freeze_ffn=freeze_ffn)
     return h.astype(jnp.float32), frame_mask
