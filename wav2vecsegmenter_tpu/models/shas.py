@@ -25,7 +25,9 @@ from .wav2vec2 import (
 
 
 def _mask_like(tree, value: float):
-    return jax.tree.map(lambda p: jnp.full(p.shape, value, jnp.float32), tree)
+    """Compact trainability mask: scalar leaves (broadcastable against the
+    params) — a full-shaped mask tree would double param HBM residency."""
+    return jax.tree.map(lambda p: jnp.asarray(value, jnp.float32), tree)
 
 
 class SHAS:
@@ -166,10 +168,9 @@ class SHAS:
                 flags = layer_flags
                 if path_has_ffn and not self.finetune_w2v_ffn:
                     flags = jnp.zeros_like(layer_flags)
+                # broadcastable [L, 1, ...] — never materialize param-shaped
                 shape = (p.shape[0],) + (1,) * (p.ndim - 1)
-                return jnp.broadcast_to(flags.reshape(shape), p.shape).astype(
-                    jnp.float32
-                )
+                return flags.reshape(shape).astype(jnp.float32)
             return fn
 
         layers_mask = {}

@@ -24,31 +24,15 @@ def summarize(params: dict, mask: dict | None = None) -> str:
     lines.append("-" * 68)
     total, total_train = 0, 0
 
-    def trainable_count(sub_mask) -> int:
+    def trainable_count(sub_params, sub_mask) -> int:
         if sub_mask is None:
             return 0
-        return int(sum(float(np.sum(np.asarray(m)))
-                       for m in jax.tree.leaves(sub_mask)))
-
-    def walk(node, mask_node, prefix, depth):
-        nonlocal total, total_train
-        if isinstance(node, dict):
-            for k, v in node.items():
-                walk(v, None if mask_node is None else mask_node.get(k),
-                     f"{prefix}.{k}" if prefix else k, depth + 1)
-            return
-        if isinstance(node, list):
-            for i, v in enumerate(node):
-                walk(v, None if mask_node is None else mask_node[i],
-                     f"{prefix}[{i}]", depth + 1)
-            return
-        # leaf
-        n = int(np.prod(node.shape))
-        t = trainable_count(mask_node) if mask_node is not None else n
-        total += n
-        total_train += t
-        if depth <= 2:
-            lines.append(f"{prefix:<40}{n:>14,}{t:>14,}")
+        total = 0
+        for p_leaf, m_leaf in zip(jax.tree.leaves(sub_params),
+                                  jax.tree.leaves(sub_mask)):
+            m = np.broadcast_to(np.asarray(m_leaf), p_leaf.shape)
+            total += int(np.sum(m))
+        return total
 
     # summarize at module granularity (depth 2), accumulate leaves below
     def walk_modules(node, mask_node, prefix):
@@ -60,7 +44,7 @@ def summarize(params: dict, mask: dict | None = None) -> str:
                              f"{prefix}.{k}" if prefix else k)
             return
         n = _count(node)
-        t = trainable_count(mask_node) if mask_node is not None else n
+        t = trainable_count(node, mask_node) if mask_node is not None else n
         total += n
         total_train += t
         lines.append(f"{prefix:<40}{n:>14,}{t:>14,}")

@@ -33,11 +33,24 @@ def make_optimizer(learning_rate: float, total_steps: int, update_freq: int,
     """AdamW + cosine annealing to 0 over total_steps optimizer steps
     (reference train.py:326-332; torch AdamW default weight_decay=0.01),
     wrapped in MultiSteps for gradient accumulation (update_freq,
-    train.py:474-480) with updates masked by the trainable tree."""
+    train.py:474-480) with updates masked by the trainable tree.
+
+    Fully-frozen leaves are excluded from AdamW entirely via optax.masked —
+    no moments allocated, no update traffic (torch skips grad=None params
+    the same way); partially-frozen stacked layers keep moments and are
+    zeroed by the broadcastable mask."""
+    import numpy as np
+
     schedule = optax.cosine_decay_schedule(learning_rate, max(1, total_steps))
+    # per-leaf bool: does any element train? (host-computable, static)
+    bool_tree = jax.tree.map(
+        lambda m: bool(np.asarray(m).max() > 0), mask_tree)
     tx = optax.chain(
-        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
-                    weight_decay=weight_decay),
+        optax.masked(
+            optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                        weight_decay=weight_decay),
+            bool_tree,
+        ),
         _mask_updates(mask_tree),
     )
     if update_freq > 1:
