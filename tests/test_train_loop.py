@@ -99,3 +99,43 @@ def test_train_loop_end_to_end(corpus, tmp_path, monkeypatch):
     assert set(tree) == {"seg"}
     # resume state saved
     assert (tmp_path / "smoke" / "last_state").exists()
+
+
+def test_train_loop_multistep(corpus, tmp_path, monkeypatch):
+    """steps_per_call>1 path: grouped lax.scan training runs and evaluates."""
+    ws, talks_tsv, segments_tsv = corpus
+    monkeypatch.chdir(tmp_path)
+
+    from wav2vecsegmenter_tpu.config import registry
+
+    import tests.helpers as helpers
+
+    helpers._tiny_builder_train2 = lambda **kw: tiny_shas()
+    orig = registry._ALIASES["lib.models.SHAS"]
+    registry.register("lib.models.SHAS", "tests.helpers:_tiny_builder_train2")
+    try:
+        cfg = compose(CONF, "train", overrides=[
+            "exp_name=smoke_multi",
+            "batch_size=2",
+            "segment_length=4",
+            "max_epochs=1",
+            "update_freq=1",
+            "print_every_steps=4",
+            "save_every_steps=999999",
+            "learning_rate=1e-4",
+            f"data.train.talk_list={talks_tsv}",
+            f"data.train.segments_list={segments_tsv}",
+            f"data.eval.talk_list={talks_tsv}",
+            f"data.eval.segments_list={segments_tsv}",
+            "runtime.kernels=xla",
+            "runtime.compute_dtype=float32",
+            "+runtime.steps_per_call=3",
+            "+runtime.device_normalize=true",
+        ])
+        from wav2vecsegmenter_tpu.train.loop import train
+
+        results = train(cfg, work_dir=tmp_path)
+    finally:
+        registry._ALIASES["lib.models.SHAS"] = orig
+
+    assert set(results) >= {"eval_f1", "eval_precision", "eval_recall"}

@@ -32,6 +32,46 @@ from .step import init_train_state, make_optimizer, make_train_step
 logger = logging.getLogger("wav2vecsegmenter_tpu")
 
 
+def _stack_batches_to_device(group, mesh):
+    """Stack K same-shape host batches into [K, ...] arrays with ONE device
+    transfer (stacking on device would cost K eager dispatches)."""
+    import jax
+
+    from ..data.collate import AutoRegBatch
+    from ..parallel.mesh import replicated
+
+    def arrays_of(b):
+        if isinstance(b, AutoRegBatch):
+            return {
+                "audio": b.audio, "in_lengths": b.in_lengths,
+                "in_target": b.in_target, "out_target": b.out_target,
+                "src_mask": b.src_mask, "tgt_mask": b.tgt_mask,
+            }
+        out = {
+            "audio": b.audio, "in_lengths": b.in_lengths,
+            "target": b.target if b.target is not None else
+            np.zeros_like(b.out_mask, np.float32),
+            "out_mask": b.out_mask,
+        }
+        if b.device_normalize:
+            out["included"] = b.included
+            out["norm_length"] = np.asarray(b.norm_length, np.int32)
+        return out
+
+    dicts = [arrays_of(b) for b in group]
+    stacked = {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
+    if mesh is None:
+        return {k: jnp.asarray(v) for k, v in stacked.items()}
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def sh_for(k, v):
+        if v.ndim >= 2 and k != "norm_length":
+            return NamedSharding(mesh, P(None, "data"))
+        return replicated(mesh)
+
+    return {k: jax.device_put(v, sh_for(k, v)) for k, v in stacked.items()}
+
+
 def _batch_to_device(batch, mesh):
     import jax
 
@@ -142,6 +182,10 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
     # host->device bytes); parity-sensitive runs can disable it
     device_normalize = bool(rt.get(
         "device_normalize", jax.default_backend() == "tpu"))
+    # K train steps per jit call (lax.scan): amortizes dispatch/state-round-
+    # trip overhead; 1 disables grouping
+    steps_per_call = int(rt.get(
+        "steps_per_call", 8 if jax.default_backend() == "tpu" else 1))
     mesh_conf = rt.get("mesh") or {}
     n_data = int(mesh_conf.get("data", -1) or -1)
     n_devices = len(jax.devices()) if n_data == -1 else n_data
@@ -291,45 +335,47 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                 autoregression=autoregression,
                 device_normalize=device_normalize,
             )
+            multi_step = None
+            if steps_per_call > 1:
+                from .step import make_train_multistep
+
+                multi_step = make_train_multistep(
+                    model, loss_fn, loss_tag, ma_window_steps, optimizer,
+                    steps_per_call, compute_dtype=compute_dtype, vocab=vocab,
+                    mesh=mesh, autoregression=autoregression,
+                    device_normalize=device_normalize,
+                )
 
         steps_in_epoch = len(train_loader)
         all_losses, all_preds, all_targets = [], [], []
         t_start = time.time()
+        step = 0
 
-        for step, batch in enumerate(train_loader, start=1):
-            global_step += 1
-            if profile_steps and global_step == 1:
-                jax.profiler.start_trace(str(results_path / "profile"))
-            dev_batch = _batch_to_device(batch, mesh)
-            rng, sub = jax.random.split(rng)
-            state, metrics = train_step(state, dev_batch, sub)
-
-            if profile_steps and global_step == profile_steps:
-                jax.block_until_ready(metrics["loss"])
-                jax.profiler.stop_trace()
-
-            all_losses.append(float(metrics["loss"]))
+        def accumulate_metrics(batch, loss_val, logits):
+            all_losses.append(float(loss_val))
             if loss_tag == "bce":
-                logits = np.asarray(metrics["logits"])
-                t = min(logits.shape[1], batch.out_mask.shape[1])
+                lg = np.asarray(logits)
+                t = min(lg.shape[1], batch.out_mask.shape[1])
                 m = batch.out_mask[:, :t]
                 all_preds.extend(
-                    ((1 / (1 + np.exp(-logits[:, :t]))) >= 0.5)[m].tolist())
+                    ((1 / (1 + np.exp(-lg[:, :t]))) >= 0.5)[m].tolist())
                 tgt = batch.target[:, :t]
                 all_targets.extend((tgt >= 0.5)[m].tolist())
             elif loss_tag in ("ce", "ssl") and vocab is not None:
                 # boundary/non-boundary micro metrics over special-token
                 # positions (reference train.py:495-504)
-                logits = np.asarray(metrics["logits"])
+                lg = np.asarray(logits)
                 tgt = batch.out_target if hasattr(batch, "out_target") else \
                     batch.target
                 spe = (tgt == vocab.boundary_token_id) | (
                     tgt == vocab.nonboundary_token_id)
-                pred = (np.argmax(logits, axis=-1) != vocab.boundary_token_id)
+                pred = (np.argmax(lg, axis=-1) != vocab.boundary_token_id)
                 all_preds.extend(pred[spe].astype(float).tolist())
                 all_targets.extend(tgt[spe].astype(float).tolist())
 
-            if (step % int(config.print_every_steps) == 0) or (
+        def after_steps():
+            nonlocal all_losses, all_preds, all_targets, results
+            if (step % int(config.print_every_steps) < pending_flushed) or (
                 step == steps_in_epoch
             ):
                 m = train_step_metrics(all_targets, all_preds, all_losses)
@@ -343,9 +389,8 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                 if wandb_run is not None:
                     wandb_run.log({"epoch": epoch, **m}, step=global_step)
                 all_losses, all_preds, all_targets = [], [], []
-
             if int(config.save_every_steps) and (
-                global_step % int(config.save_every_steps) == 0
+                global_step % int(config.save_every_steps) < pending_flushed
             ):
                 engine.params = state.params
                 results = evaluate(eval_gen, engine, loss_tag, vocab)
@@ -356,6 +401,70 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                         results_path, f"epoch-{epoch}_step-{global_step}",
                     ))
                 save_ckpt(f"epoch-{epoch}_step-{global_step}", results)
+
+        def run_single(batch):
+            nonlocal state, rng, step, global_step
+            step += 1
+            global_step += 1
+            dev_batch = _batch_to_device(batch, mesh)
+            rng_l, sub = jax.random.split(rng)
+            rng = rng_l
+            new_state, metrics = train_step(state, dev_batch, sub)
+            state = new_state
+            accumulate_metrics(batch, metrics["loss"], metrics["logits"])
+
+        def run_multi(group):
+            nonlocal state, rng, step, global_step
+            step += len(group)
+            global_step += len(group)
+            stacked = _stack_batches_to_device(group, mesh)
+            rng_l, sub = jax.random.split(rng)
+            rng = rng_l
+            new_state, metrics = multi_step(state, stacked, sub)
+            state = new_state
+            losses = np.asarray(metrics["loss"])
+            logits = np.asarray(metrics["logits"])
+            for i, b in enumerate(group):
+                accumulate_metrics(b, losses[i], logits[i])
+
+        def batch_shape_key(b):
+            return (b.audio.shape, type(b).__name__)
+
+        pending: list = []
+        pending_key = None
+        for batch in train_loader:
+            if profile_steps and global_step == 0:
+                jax.profiler.start_trace(str(results_path / "profile"))
+            if multi_step is None:
+                pending_flushed = 1
+                run_single(batch)
+                after_steps()
+            else:
+                key = batch_shape_key(batch)
+                if pending and (key != pending_key or
+                                len(pending) == steps_per_call):
+                    pending_flushed = len(pending)
+                    if len(pending) == steps_per_call:
+                        run_multi(pending)
+                    else:
+                        for b in pending:
+                            run_single(b)
+                    after_steps()
+                    pending = []
+                pending.append(batch)
+                pending_key = key
+            if profile_steps and 0 < profile_steps <= global_step:
+                jax.block_until_ready(state.params["seg"]["out"]["b"])
+                jax.profiler.stop_trace()
+                profile_steps = 0
+        if pending:
+            pending_flushed = len(pending)
+            if multi_step is not None and len(pending) == steps_per_call:
+                run_multi(pending)
+            else:
+                for b in pending:
+                    run_single(b)
+            after_steps()
 
         # end-of-epoch eval + ckpt (reference train.py:654-744)
         engine.params = state.params

@@ -191,6 +191,50 @@ def make_train_step(model, loss_fn, loss_tag: str, ma_window_steps: int,
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def make_train_multistep(model, loss_fn, loss_tag: str, ma_window_steps: int,
+                         optimizer, n_steps: int, compute_dtype=jnp.float32,
+                         vocab=None, mesh=None, autoregression: bool = False,
+                         device_normalize: bool = False):
+    """K train steps inside one jit via lax.scan.
+
+    Amortizes per-call overhead (dispatch, and on remote-execution runtimes
+    the round trip of the param-sized train state) across ``n_steps``
+    micro-steps: the call takes stacked batches (leading [K] axis) and
+    returns the state once.  Losses and last-step logits come back for the
+    training metrics."""
+    single = make_train_step(
+        model, loss_fn, loss_tag, ma_window_steps, optimizer,
+        compute_dtype=compute_dtype, vocab=vocab, mesh=None,
+        autoregression=autoregression, device_normalize=device_normalize,
+    )
+    # reuse the un-jitted step body by rebuilding it here (make_train_step
+    # returns a jit; jit-of-scan-of-jit is fine — inner jit inlines)
+
+    def multi_fn(state: TrainState, batches: dict, rng) -> tuple:
+        keys = jax.random.split(rng, n_steps)
+
+        def body(carry, xs):
+            batch, key = xs
+            new_state, metrics = single(carry, batch, key)
+            return new_state, (metrics["loss"], metrics["logits"])
+
+        state, (losses, logits) = jax.lax.scan(body, state, (batches, keys))
+        return state, {"loss": losses, "logits": logits}
+
+    if mesh is not None:
+        # batches are [K, B, ...]: shard the batch dim, replicate K; leave
+        # the batch pytree's sharding to the caller's device_put (axis 1)
+        rep = replicated(mesh)
+        state_sh = TrainState(rep, rep, rep)
+        return jax.jit(
+            multi_fn,
+            in_shardings=(state_sh, None, rep),
+            out_shardings=(state_sh, {"loss": rep}),
+            donate_argnums=(0,),
+        )
+    return jax.jit(multi_fn, donate_argnums=(0,))
+
+
 def init_train_state(model, optimizer, rng, params=None) -> TrainState:
     if params is None:
         params = model.init(rng)
