@@ -139,3 +139,26 @@ def test_train_loop_multistep(corpus, tmp_path, monkeypatch):
         registry._ALIASES["lib.models.SHAS"] = orig
 
     assert set(results) >= {"eval_f1", "eval_precision", "eval_recall"}
+
+
+def test_evaluate_multipass(corpus):
+    """evaluate() with inference_times=2: multi-grid averaging path."""
+    import jax
+
+    from wav2vecsegmenter_tpu.data.loader import FixedDataloaderGenerator
+    from wav2vecsegmenter_tpu.eval.metrics import evaluate
+    from wav2vecsegmenter_tpu.infer.pipeline import WindowInference
+    from wav2vecsegmenter_tpu.train.loss import BCEWithLogitsLoss
+
+    ws, talks_tsv, segments_tsv = corpus
+    gen = FixedDataloaderGenerator(
+        talks_tsv, segments_tsv, segment_length=4, batch_size=2,
+        inference_times=2,
+    )
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    engine = WindowInference(model, params, loss_fn=BCEWithLogitsLoss(None))
+    results = evaluate(gen, engine, "bce", None)
+    for k in ("eval_accuracy", "eval_f1", "eval_precision", "eval_recall"):
+        assert 0.0 <= results[k] <= 1.0
+    assert "eval_loss" in results and np.isfinite(results["eval_loss"])
