@@ -117,3 +117,42 @@ def test_yaml_content_matches_reference(ref, rng):
         [], ref.pdac(probs.copy(), 10, 0.2, 0.5), "talk.wav"
     )
     assert ours == theirs
+
+
+def test_edge_cases_match_reference(ref, rng):
+    """Degenerate inputs: all-speech, all-silence, tiny arrays, exact
+    threshold values."""
+    cases = [
+        np.ones(500),                      # all speech
+        np.zeros(500),                     # all silence
+        np.full(500, 0.5),                 # exactly at threshold
+        rng.rand(5),                       # shorter than any window
+        np.concatenate([np.ones(400), np.zeros(3), np.ones(400)]),  # 1 pause
+    ]
+    for probs in cases:
+        ours_d = pdac(probs.copy(), 6, 0.2, 0.5)
+        theirs_d = ref.pdac(probs.copy(), 6, 0.2, 0.5)
+        assert _as_tuples(ours_d) == _as_tuples(theirs_d)
+        ours_s = strm(probs.copy(), 6, 0.2, 0.2, 0.5)
+        theirs_s = ref.strm(probs.copy(), 6, 0.2, 0.2, 0.5)
+        assert _as_tuples(ours_s) == _as_tuples(theirs_s)
+        ours_p = pthr(probs.copy(), 6, 0.2, 1.0, 0.4, 0.5, 0.1)
+        theirs_p = ref.pthr(probs.copy(), 6, 0.2, 1.0, 0.4, 0.5, 0.1)
+        assert _as_tuples(ours_p) == _as_tuples(theirs_p)
+
+
+def test_fuzz_long_arrays_match_reference(ref, rng):
+    """Hour-scale arrays with hard thresholds (tie-dense)."""
+    for seed in range(3):
+        r = np.random.RandomState(seed)
+        # quantized probs -> many exact ties exercising argsort/split orders
+        probs = np.round(r.rand(180_000) * 8) / 8
+        ours = pdac(probs.copy(), 18, 0.2, 0.5)
+        theirs = ref.pdac(probs.copy(), 18, 0.2, 0.5)
+        assert _as_tuples(ours) == _as_tuples(theirs)
+        ours = pthr(probs.copy(), 28, 0.2, 4, 0.4, 0.1, 0.1)
+        theirs = ref.pthr(probs.copy(), 28, 0.2, 4, 0.4, 0.1, 0.1)
+        assert _as_tuples(ours) == _as_tuples(theirs)
+        ours = strm(probs.copy(), 18, 0.2, 0.2, 0.5)
+        theirs = ref.strm(probs.copy(), 18, 0.2, 0.2, 0.5)
+        assert _as_tuples(ours) == _as_tuples(theirs)
