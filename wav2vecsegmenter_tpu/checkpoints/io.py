@@ -121,7 +121,12 @@ def save_orbax(path: str | Path, tree) -> None:
         ckptr.save(path, tree, force=True)
 
 
-def restore_orbax(path: str | Path, model=None, template=None):
+def restore_orbax(path: str | Path, model=None, template=None,
+                  device=None):
+    """Restore a pytree; the template carries concrete single-device
+    shardings (a checkpoint saved from a CPU process is otherwise
+    unrestorable in a TPU process — orbax can't reconstruct shardings across
+    backends)."""
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()
@@ -129,5 +134,12 @@ def restore_orbax(path: str | Path, model=None, template=None):
         if template is None and model is not None:
             template = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
         if template is not None:
+            dev = device or jax.devices()[0]
+            sharding = jax.sharding.SingleDeviceSharding(dev)
+            template = jax.tree.map(
+                lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                               sharding=sharding),
+                template,
+            )
             return ckptr.restore(path, template)
         return ckptr.restore(path)
