@@ -393,7 +393,9 @@ def encoder(params: dict, x: jax.Array, frame_mask: jax.Array,
                     + ad["down"]["b"].astype(compute_dtype))
                 a_out = (a_out @ ad["up"]["w"].astype(compute_dtype)
                          + ad["up"]["b"].astype(compute_dtype))
-                f = f + ad["flag"] * cfg.adapter_scale * a_out
+                gate = (ad["flag"].astype(compute_dtype)
+                        * jnp.asarray(cfg.adapter_scale, compute_dtype))
+                f = f + gate * a_out
             h = h + f
         else:
             # post-LN: h = LN1(h + attn(h)); h = LN2(h + ffn(h))
