@@ -214,3 +214,43 @@ def test_full_shas_pipeline_parity():
     )
     diff = np.abs(ours - torch_logits)[out_mask]
     assert diff.max() < 2e-4, f"max abs diff {diff.max()}"
+
+
+def test_bf16_compute_dtype_compiles_all_variants():
+    """bf16 compute path (the TPU default) must trace for every variant —
+    guards dtype leaks that f32-only CPU tests cannot catch."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from .helpers import TINY_W2V, tiny_shas
+
+    variants = [
+        tiny_shas(),
+        tiny_shas(finetune_wav2vec=True, wav2vec_ft_layers=1,
+                  finetune_w2v_feat_enc=False, finetune_w2v_ffn=False),
+    ]
+    adapter = tiny_shas(finetune_wav2vec=True, wav2vec_ft_layers=1,
+                        ffn_adapter=True)
+    adapter.w2v_cfg = dataclasses.replace(TINY_W2V, ffn_adapter=True,
+                                          adapter_dim=16)
+    variants.append(adapter)
+
+    audio = jax.ShapeDtypeStruct((2, 16000), jnp.float32)
+    lens = jax.ShapeDtypeStruct((2,), jnp.int32)
+    om = jax.ShapeDtypeStruct((2, 50), jnp.bool_)
+    for m in variants:
+        params = m.init(jax.random.PRNGKey(0))
+        out = jax.eval_shape(
+            lambda p, a, l, o: m.apply(p, a, l, o,
+                                       compute_dtype=jnp.bfloat16),
+            params, audio, lens, om)
+        assert out.shape == (2, 50)
+        # gradient path traces too (TPU fine-tuning)
+        gshape = jax.eval_shape(
+            lambda p, a, l, o: jax.grad(
+                lambda pp: m.apply(pp, a, l, o,
+                                   compute_dtype=jnp.bfloat16).sum())(p),
+            params, audio, lens, om)
+        assert jax.tree.structure(gshape) == jax.tree.structure(params)
