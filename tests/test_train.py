@@ -189,6 +189,61 @@ def test_data_parallel_train_step_on_mesh(rng):
                                    rtol=5e-2, atol=1e-3)
 
 
+def test_multistep_on_mesh(rng):
+    """K steps/call via lax.scan on the 8-device mesh (the TPU-default
+    steps_per_call path) runs and matches sequential single steps.
+
+    Regression test for the round-1 out_shardings crash: multi_fn returns
+    {"loss", "logits"} but the mesh path only constrained {"loss"}."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wav2vecsegmenter_tpu.parallel.mesh import make_mesh
+    from wav2vecsegmenter_tpu.train.step import make_train_multistep
+
+    mesh = make_mesh(8)
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    mask = model.trainable_mask(params)
+    opt = make_optimizer(1e-3, 100, 1, mask)
+    K = 2
+
+    b1 = _make_batch(rng, b=8, L=16000, t_out=50)
+    b2 = _make_batch(rng, b=8, L=16000, t_out=50)
+
+    # sequential single steps (no mesh) as the oracle
+    params2 = jax.tree.map(jnp.copy, params)
+    state1 = init_train_state(model, opt, jax.random.PRNGKey(1), params)
+    step1 = make_train_step(model, BCEWithLogitsLoss(None), "bce", 0, opt)
+    keys = jax.random.split(jax.random.PRNGKey(9), K)
+    ref_losses = []
+    for b, k in zip((b1, b2), keys):
+        state1, m = step1(state1, b, k)
+        ref_losses.append(float(m["loss"]))
+
+    # K-step scan on the mesh
+    state2 = init_train_state(model, opt, jax.random.PRNGKey(1), params2)
+    multi = make_train_multistep(model, BCEWithLogitsLoss(None), "bce", 0,
+                                 opt, n_steps=K, mesh=mesh)
+    stk = NamedSharding(mesh, P(None, "data"))
+    stacked = {
+        k: jax.device_put(np.stack([np.asarray(b1[k]), np.asarray(b2[k])]),
+                          stk)
+        for k in b1
+    }
+    state2, m = multi(state2, stacked, jax.random.PRNGKey(9))
+    losses = np.asarray(m["loss"])
+    logits = np.asarray(m["logits"])
+    assert losses.shape == (K,) and np.isfinite(losses).all()
+    assert logits.shape[:2] == (K, 8)
+    # same data, same keys (both paths split PRNGKey(9) into K subkeys):
+    # losses match the sequential oracle up to cross-shard reduction order
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)
+
+
 def test_gradient_accumulation_multisteps(rng):
     model = tiny_shas()
     params = model.init(jax.random.PRNGKey(0))

@@ -224,12 +224,17 @@ def make_train_multistep(model, loss_fn, loss_tag: str, ma_window_steps: int,
     if mesh is not None:
         # batches are [K, B, ...]: shard the batch dim, replicate K; leave
         # the batch pytree's sharding to the caller's device_put (axis 1)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         rep = replicated(mesh)
         state_sh = TrainState(rep, rep, rep)
+        # metrics: losses are [K] (replicated); logits stack to [K, B, ...]
+        # with the batch on axis 1 — shard that axis like the inputs
+        logits_sh = NamedSharding(mesh, P(None, "data"))
         return jax.jit(
             multi_fn,
             in_shardings=(state_sh, None, rep),
-            out_shardings=(state_sh, {"loss": rep}),
+            out_shardings=(state_sh, {"loss": rep, "logits": logits_sh}),
             donate_argnums=(0,),
         )
     return jax.jit(multi_fn, donate_argnums=(0,))
