@@ -74,8 +74,9 @@ int w2v_wav_info(const char* path, long* num_frames, int* sample_rate,
   return 0;
 }
 
-// Read num_frames mono float32 samples starting at frame offset; channels
-// are averaged.  Returns number of frames read, or -1 on error.
+// Read num_frames mono float32 samples starting at frame offset; for
+// multi-channel audio only the FIRST channel is kept (the reference takes
+// waveform[0], lib/dataset.py:257).  Returns frames read, or -1 on error.
 long w2v_read_window(const char* path, long offset, long num_frames,
                      float* out) {
   FILE* f = std::fopen(path, "rb");
@@ -115,11 +116,8 @@ long w2v_read_window(const char* path, long offset, long num_frames,
           out[frame_pos + i] = buf[i] * (1.0f / 32768.0f);
         frame_pos += got;
       } else {
-        for (long i = 0; i < got; i += ch) {
-          float acc = 0.f;
-          for (int c = 0; c < ch; ++c) acc += buf[i + c];
-          out[frame_pos++] = acc * (1.0f / 32768.0f) / ch;
-        }
+        for (long i = 0; i < got; i += ch)
+          out[frame_pos++] = buf[i] * (1.0f / 32768.0f);
       }
       remaining -= got;
     }

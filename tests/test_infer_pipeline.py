@@ -92,3 +92,32 @@ def test_device_normalize_matches_host_normalize(rng):
     p_host, _, _ = infer_talk(engine, [host_batch], 178)
     p_dev, _, _ = infer_talk(engine, [dev_batch], 178)
     np.testing.assert_allclose(p_dev, p_host, atol=2e-5)
+
+
+def test_half_outframe_talk_length_clamps(tmp_path):
+    """A talk whose length lands exactly on a .5 output frame (30.00s ->
+    1498.5): duration_outframes rounds down (banker's) but the last window
+    end's +1e-6 tiebreak rounds up — the stitch must clamp instead of
+    writing past the talk array (the reference crashes here,
+    lib/evaluate.py:104; see PARITY.md)."""
+    from wav2vecsegmenter_tpu.data.audio import write_wav
+    from wav2vecsegmenter_tpu.data.datasets import (
+        FixedSegmentationDatasetNoTarget,
+    )
+    from wav2vecsegmenter_tpu.data.loader import BatchIterator
+
+    wav = tmp_path / "halfframe.wav"
+    rng = np.random.RandomState(0)
+    write_wav(wav, rng.randn(30 * 16000).astype(np.float32) * 0.1)
+
+    dataset = FixedSegmentationDatasetNoTarget(wav, 20, 1)
+    assert dataset.duration_outframes == 1498  # banker's round of 1498.5
+    dataset.fixed_length_segmentation(0)
+    batches = BatchIterator(dataset, 4, 20.0, shuffle=False)
+
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    engine = WindowInference(model, params)
+    probs, logits, _ = infer_talk(engine, batches, dataset.duration_outframes)
+    assert probs.shape == (1498,)
+    assert not np.isnan(probs).any()

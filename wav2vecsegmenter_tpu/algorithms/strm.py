@@ -21,8 +21,9 @@ from .segment import Segment
 
 
 def _longest_zero_run(bits: np.ndarray) -> tuple[int, int]:
-    """(start, length) of the longest run of zeros; ties pick the *last* run
-    (matching the reference's stable sort by length taking the final max)."""
+    """(start, length) of the longest run of zeros; ties pick the *first*
+    run (np.argmax returns the first maximum, matching the reference: its
+    str.split() locates the first occurrence of the max-pause string)."""
     if len(bits) == 0:
         return -1, 0
     padded = np.concatenate([[1], bits, [1]])

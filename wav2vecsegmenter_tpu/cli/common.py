@@ -118,12 +118,33 @@ def segment_wavs(
     compute_dtype,
 ) -> list[dict]:
     """The product loop: per wav, multi-pass sliding-window inference,
-    probability averaging, algorithm dispatch, yaml rows."""
+    probability averaging, algorithm dispatch, yaml rows.
+
+    Honors ``runtime.mesh`` (multi-chip inference): windows are sharded over
+    the 'data' mesh axis with params replicated, and the batch size is
+    rounded up to a device multiple (loaders pad every batch to the static
+    batch size, so sharding divisibility always holds)."""
+    import jax
     from tqdm import tqdm
+
+    from ..parallel.mesh import make_mesh, pad_batch_to_devices
+
+    rt = config.get("runtime") or {}
+    mesh_conf = rt.get("mesh") or {}
+    n_data = int(mesh_conf.get("data", -1) or -1)
+    n_devices = len(jax.devices()) if n_data == -1 else n_data
+    mesh = make_mesh(n_data) if n_devices > 1 else None
+    batch_size = int(config.batch_size)
+    if mesh is not None:
+        padded = pad_batch_to_devices(batch_size, n_devices)
+        if padded != batch_size:
+            logger.info("batch_size %d -> %d (multiple of %d devices)",
+                        batch_size, padded, n_devices)
+            batch_size = padded
 
     engine = WindowInference(
         model, params, loss_tag=config.task.loss.tag,
-        compute_dtype=compute_dtype, vocab=vocab,
+        compute_dtype=compute_dtype, vocab=vocab, mesh=mesh,
     )
     algo_conf = to_plain(config.algorithm)
     tag = algo_conf.pop("tag")
@@ -155,7 +176,7 @@ def segment_wavs(
         for it in range(inference_times):
             dataset.fixed_length_segmentation(it)
             batches = BatchIterator(
-                dataset, int(config.batch_size),
+                dataset, batch_size,
                 float(config.inference_segment_length),
                 shuffle=False,
                 device_normalize=True,

@@ -68,7 +68,9 @@ def read_wav_window(path: str | Path, offset: int = 0,
     else:
         raise ValueError(f"Unsupported sample width {sampwidth} in {path}")
     if n_channels > 1:
-        data = data.reshape(-1, n_channels).mean(axis=1)
+        # the reference keeps only the first channel (waveform[0],
+        # lib/dataset.py:257) — match that, not a downmix
+        data = np.ascontiguousarray(data.reshape(-1, n_channels)[:, 0])
     return data
 
 

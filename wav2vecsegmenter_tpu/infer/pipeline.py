@@ -186,6 +186,13 @@ def infer_talk(
             all_losses.append(engine.batch_loss(batch, logits))
         for i in range(len(probs)):
             start, end = int(batch.starts[i]), int(batch.ends[i])
+            # Guard: when the talk length lands exactly on a .5 output
+            # frame (e.g. 30.00s -> 1498.5), duration_outframes rounds
+            # down (banker's) but the window-end +1e-6 tiebreak rounds up,
+            # putting the last grid end 1 past the talk array.  The
+            # reference crashes on this input (lib/evaluate.py:104 writes
+            # past talk_probs); we clamp instead (PARITY.md).
+            end = min(end, duration_outframes)
             if batch.included[i] and end > start:
                 duration = end - start
                 talk_probs[start:end] = probs[i, :duration]
