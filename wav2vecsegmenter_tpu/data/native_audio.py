@@ -38,6 +38,13 @@ def _load():
             ctypes.POINTER(ctypes.c_float),
         ]
         lib.w2v_read_window.restype = ctypes.c_long
+        lib.w2v_flac_bound.argtypes = [ctypes.c_long]
+        lib.w2v_flac_bound.restype = ctypes.c_long
+        lib.w2v_encode_flac.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ]
+        lib.w2v_encode_flac.restype = ctypes.c_long
         _LIB = lib
     except Exception:
         _LIB = None
@@ -75,3 +82,19 @@ def read_window(path: str, offset: int, num_frames: int) -> np.ndarray:
     if got < 0:
         raise OSError(f"w2v_read_window failed ({got}) for {path}")
     return out[: int(got)]
+
+
+def encode_flac(samples_i16: np.ndarray, sample_rate: int) -> bytes:
+    lib = _load()
+    samples_i16 = np.ascontiguousarray(samples_i16, dtype=np.int16)
+    n = len(samples_i16)
+    cap = int(lib.w2v_flac_bound(n))
+    out = np.empty(cap, np.uint8)
+    got = lib.w2v_encode_flac(
+        samples_i16.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n,
+        int(sample_rate), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+    )
+    if got < 0:
+        raise OSError(f"w2v_encode_flac failed ({got})")
+    return out[: int(got)].tobytes()

@@ -430,41 +430,49 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
         def batch_shape_key(b):
             return (b.audio.shape, type(b).__name__)
 
-        pending: list = []
-        pending_key = None
+        # Per-bucket queues: the loader emits two static audio shapes
+        # (std/tail); a single FIFO would flush a group as 1-step calls on
+        # every bucket alternation (measured 3x slower per step on axon).
+        # Queuing per shape keeps every full group on the K-step path;
+        # only epoch-tail remainders run single.  Cross-bucket reordering
+        # is harmless: the random dataset is already a shuffled stream.
+        queues: dict = {}
+        n_multi = n_single = 0
         for batch in train_loader:
             if profile_steps and global_step == 0:
                 jax.profiler.start_trace(str(results_path / "profile"))
             if multi_step is None:
                 pending_flushed = 1
                 run_single(batch)
+                n_single += 1
                 after_steps()
             else:
-                key = batch_shape_key(batch)
-                if pending and (key != pending_key or
-                                len(pending) == steps_per_call):
-                    pending_flushed = len(pending)
-                    if len(pending) == steps_per_call:
-                        run_multi(pending)
-                    else:
-                        for b in pending:
-                            run_single(b)
+                q = queues.setdefault(batch_shape_key(batch), [])
+                q.append(batch)
+                if len(q) == steps_per_call:
+                    pending_flushed = steps_per_call
+                    run_multi(q)
+                    n_multi += steps_per_call
                     after_steps()
-                    pending = []
-                pending.append(batch)
-                pending_key = key
+                    q.clear()
             if profile_steps and 0 < profile_steps <= global_step:
                 jax.block_until_ready(state.params["seg"]["out"]["b"])
                 jax.profiler.stop_trace()
                 profile_steps = 0
-        if pending:
-            pending_flushed = len(pending)
-            if multi_step is not None and len(pending) == steps_per_call:
-                run_multi(pending)
-            else:
-                for b in pending:
+        for q in queues.values():
+            if q:
+                pending_flushed = len(q)
+                for b in q:
                     run_single(b)
-            after_steps()
+                n_single += len(q)
+                after_steps()
+        if multi_step is not None and (n_multi or n_single):
+            total = n_multi + n_single
+            logger.info(
+                "steps_per_call=%d: %d/%d steps in K-step calls "
+                "(%.1f%% ran single)",
+                steps_per_call, n_multi, total, 100.0 * n_single / total,
+            )
 
         # end-of-epoch eval + ckpt (reference train.py:654-744)
         engine.params = state.params
