@@ -8,6 +8,16 @@ BASELINE.json north-star: >=50x real time per v5e chip on the large+all
 (24/24) architecture.  vs_baseline = achieved_xRT / 50.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Modes (env BENCH_MODE):
+  * default / "infer": the headline segmentation-xRT benchmark above.
+  * "train": fine-tune step time at the BASELINE lna_l24_ft24 config
+    (finetune_wav2vec=True, 24 ft layers, batch_size=4, 20 s windows,
+    K=steps_per_call jit calls).  value = s/step; vs_baseline is relative
+    to the 3.4 s/step measured on this rig in round 1 (>1 is faster).
+
+W2VSEG_BENCH_CKPT=<.pt or orbax dir> benches through the production
+checkpoint-load path instead of random weights.
 """
 
 from __future__ import annotations
@@ -22,7 +32,111 @@ from pathlib import Path
 import numpy as np
 
 
+def bench_train() -> None:
+    """Fine-tune step benchmark: lna_l24_ft24 (BASELINE.json config #4)."""
+    from wav2vecsegmenter_tpu.core.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vecsegmenter_tpu.models.shas import SHAS
+    from wav2vecsegmenter_tpu.train.loss import BCEWithLogitsLoss
+    from wav2vecsegmenter_tpu.train.step import (
+        init_train_state, make_optimizer, make_train_multistep)
+
+    on_tpu = jax.default_backend() == "tpu"
+    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    keep = 24 if on_tpu else 2
+    batch = int(os.environ.get("BENCH_BATCH", 4))
+    K = int(os.environ.get("BENCH_K", 8 if on_tpu else 2))
+    window_secs = 20.0
+    L = int(window_secs * 16000) if on_tpu else 32000
+    t_out = 999 if on_tpu else 99
+
+    model = SHAS(
+        wav2vec_model_name="facebook/wav2vec2-xls-r-300m",
+        wav2vec_keep_layers=keep, finetune_wav2vec=True,
+        wav2vec_ft_layers=keep, n_transformer_enc_layers=1,
+        n_transformer_enc_heads=8, init_dropout=0.1,
+    )
+    if not on_tpu:
+        from wav2vecsegmenter_tpu.models.wav2vec2 import Wav2Vec2Config
+
+        model.w2v_cfg = Wav2Vec2Config(
+            hidden_size=64, num_layers=2, num_heads=4, ffn_dim=128,
+            conv_dim=(32,) * 7, conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+            conv_stride=(5, 2, 2, 2, 2, 2, 2),
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        )
+        model.d_model = 64
+        model.keep_layers = 2
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(jax.random.PRNGKey(0))
+    if on_tpu:
+        params = jax.device_put(params, jax.devices()[0])
+    mask = model.trainable_mask(params)
+    opt = make_optimizer(2.5e-4, 10_000, 1, mask)
+    state = init_train_state(model, opt, jax.random.PRNGKey(1), params)
+    multi = make_train_multistep(
+        model, BCEWithLogitsLoss(None), "bce", 0, opt, n_steps=K,
+        compute_dtype=compute_dtype)
+
+    rng = np.random.RandomState(0)
+    target = np.zeros((K, batch, t_out), np.float32)
+    target[..., : t_out // 2] = 1.0
+    stacked = {
+        "audio": jnp.asarray(rng.randn(K, batch, L).astype(np.float32) * 0.1),
+        "in_lengths": jnp.full((K, batch), L, jnp.int32),
+        "target": jnp.asarray(target),
+        "out_mask": jnp.ones((K, batch, t_out), bool),
+    }
+    key = jax.random.PRNGKey(2)
+
+    def force(state, m):
+        # block_until_ready is unreliable through the axon tunnel; force a
+        # device->host read of the losses AND one updated param leaf (its
+        # value depends on the full backward + optimizer update chain)
+        np.asarray(m["loss"])
+        np.asarray(state.params["seg"]["out"]["w"])
+
+    state, m = multi(state, stacked, key)   # warmup/compile
+    force(state, m)
+    n_passes = int(os.environ.get("BENCH_PASSES", 3))
+    walls = []
+    for _ in range(n_passes):
+        t0 = time.perf_counter()
+        state, m = multi(state, stacked, key)
+        force(state, m)
+        walls.append(time.perf_counter() - t0)
+    s_per_step = min(walls) / K
+
+    # analytic FLOPs: fwd+bwd ~= 3x fwd; transformer ~29.3 MFLOP/frame/layer
+    # (QKVO 8h^2 + FFN 4hf + attn 4Th at h=1024 f=4096 T=999) + ~96 GFLOP
+    # conv stack per 20 s window
+    if on_tpu:
+        fwd = (29.3e6 * t_out * keep + 96e9) * batch
+        mfu = 3 * fwd / s_per_step / 197e12  # v5e bf16 peak
+    else:
+        mfu = 0.0
+    baseline_s = 3.4  # round-1 measured s/step on this rig (K=8)
+    print(json.dumps({
+        "metric": "train_step_lna_l24_ft24",
+        "value": round(s_per_step, 3),
+        "unit": "s/step (batch=4, 20s windows)",
+        "vs_baseline": round(baseline_s / s_per_step, 3),
+    }))
+    print(f"# K={K} walls={['%.2f' % w for w in walls]} batch={batch} "
+          f"layers={keep} backend={jax.default_backend()} "
+          f"audio_rate={batch * window_secs / s_per_step:.1f} audio-s/s "
+          f"est_mfu={mfu:.3f}", file=sys.stderr)
+
+
 def main() -> None:
+    if os.environ.get("BENCH_MODE", "infer") == "train":
+        bench_train()
+        return
     from wav2vecsegmenter_tpu.core.runtime import setup_compilation_cache
 
     setup_compilation_cache()
@@ -64,9 +178,19 @@ def main() -> None:
         model.d_model = 64
 
     # init on host CPU (eager ops through the TPU tunnel are slow), then
-    # transfer the pytree to the chip once
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = model.init(jax.random.PRNGKey(0))
+    # transfer the pytree to the chip once.  W2VSEG_BENCH_CKPT (a reference
+    # .pt or an Orbax dir) benches with real weights; throughput itself is
+    # weight-independent but this validates the production load path.
+    ckpt = os.environ.get("W2VSEG_BENCH_CKPT")
+    if ckpt:
+        from wav2vecsegmenter_tpu.checkpoints.io import load_model_checkpoint
+
+        params = load_model_checkpoint(model, ckpt)
+        weights_src = ckpt
+    else:
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = model.init(jax.random.PRNGKey(0))
+        weights_src = "random"
     if on_tpu:
         params = jax.device_put(params, jax.devices()[0])
     engine = WindowInference(model, params, loss_tag="bce",
@@ -113,7 +237,8 @@ def main() -> None:
     }))
     print(f"# talk={talk_secs}s walls={['%.2f' % w for w in walls]} "
           f"segments={len(yaml_content)} backend={jax.default_backend()} "
-          f"layers={keep_layers} batch={batch_size}", file=sys.stderr)
+          f"layers={keep_layers} batch={batch_size} weights={weights_src}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -31,3 +31,44 @@ def load_reference_segment():
 
 def reference_available() -> bool:
     return (REFERENCE / "lib" / "segment.py").exists()
+
+
+def load_reference_shas(ckpt_path, keep_layers, model_name=None,
+                        ffn_adapter=False):
+    """Instantiate the reference SHAS (lib/models.py:172) and load a
+    published checkpoint into it — either layout (train.py:596-613).
+    Requires local HF weights for the backbone (from_pretrained)."""
+    import torch
+
+    libdir = str(REFERENCE / "lib")
+    if libdir not in sys.path:
+        sys.path.insert(0, libdir)
+    import importlib
+
+    models = importlib.import_module("models")
+    assert str(REFERENCE) in models.__file__
+
+    sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = sd.get("state_dict", sd)
+    full = any(k.startswith("wav2vec_model.") for k in sd)
+    if not ffn_adapter:
+        ffn_adapter = any("adapter" in k for k in sd)
+    model = models.SHAS(
+        wav2vec_model_name=model_name or "facebook/wav2vec2-xls-r-300m",
+        wav2vec_keep_layers=keep_layers,
+        finetune_wav2vec=full,
+        wav2vec_ft_layers=keep_layers,
+        finetune_w2v_feat_enc=False,
+        finetune_w2v_ffn=False,
+        ffn_adapter=ffn_adapter,
+        n_transformer_enc_layers=1,
+        n_transformer_enc_heads=8,
+        init_dropout=0.1,
+    )
+    if full:
+        model.load_state_dict(sd)
+    else:
+        model.seg_model.load_state_dict(
+            {k.replace("seg_model.", "", 1): v for k, v in sd.items()})
+    model.eval()
+    return model

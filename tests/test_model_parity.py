@@ -254,3 +254,40 @@ def test_bf16_compute_dtype_compiles_all_variants():
                                    compute_dtype=jnp.bfloat16).sum())(p),
             params, audio, lens, om)
         assert jax.tree.structure(gshape) == jax.tree.structure(params)
+
+
+def test_attention_prob_dropout_flag():
+    """cfg.apply_attention_prob_dropout: inert at eval, active in train mode
+    (the explicit-softmax measurement path for the fused kernel's omitted
+    prob dropout — scripts/measure_attn_dropout.py)."""
+    import dataclasses
+
+    model, _ = make_hf_model(True)
+    cfg_off = our_cfg(True)
+    cfg_off = dataclasses.replace(cfg_off, attention_dropout=0.1)
+    cfg_on = dataclasses.replace(cfg_off, apply_attention_prob_dropout=True)
+    params = convert_hf_wav2vec2(model.state_dict(), cfg_off)
+
+    rng = np.random.RandomState(0)
+    audio = rng.randn(2, 2000).astype(np.float32)
+    lengths = np.array([2000, 2000], np.int32)
+    a, l = jnp.asarray(audio), jnp.asarray(lengths)
+
+    # eval path: flag has no effect
+    h_off, _ = wav2vec2_forward(params, a, l, cfg_off)
+    h_on, _ = wav2vec2_forward(params, a, l, cfg_on)
+    np.testing.assert_array_equal(np.asarray(h_off), np.asarray(h_on))
+
+    # train path: flag changes activations (same rng)
+    key = jax.random.PRNGKey(7)
+    t_off, _ = wav2vec2_forward(params, a, l, cfg_off,
+                                deterministic=False, rng=key)
+    t_on, _ = wav2vec2_forward(params, a, l, cfg_on,
+                               deterministic=False, rng=key)
+    assert np.abs(np.asarray(t_off) - np.asarray(t_on)).max() > 1e-6
+    # and gradients flow through the prob-dropout path
+    g = jax.grad(
+        lambda p: wav2vec2_forward(p, a, l, cfg_on, deterministic=False,
+                                   rng=key)[0].sum()
+    )(params)
+    assert np.isfinite(np.asarray(g["layers"]["attn"]["q"]["w"])).all()

@@ -31,6 +31,42 @@ def test_fbank_shape_and_scaling():
     assert feats[:, :20].mean() > feats[:, 60:].mean()
 
 
+def test_fbank_golden_vectors():
+    """Numerical parity with kaldi fbank (torchaudio.compliance.kaldi
+    defaults via fairseq extract_fbank_features — reference
+    lib/eval_scripts/prepare_custom_dataset.py:16-24).
+
+    Golden features in tests/data/fbank_golden.npz were generated with
+    transformers.Speech2TextFeatureExtractor (num_mel_bins=80,
+    do_ceptral_normalize=False), HF's numpy port of
+    torchaudio.compliance.kaldi.fbank — an implementation independent of
+    stpipe/fbank.py.  Three stress waveforms: a 100->4000 Hz sine sweep,
+    gated noise (silence gaps), and an impulse train with DC offset
+    (exercises DC removal + preemphasis + the mel floor).
+    """
+    golden = np.load(Path(__file__).parent / "data" / "fbank_golden.npz")
+    for name in ("sweep", "noise", "impulse"):
+        feats = fbank80(golden[f"wav_{name}"])
+        ref = golden[f"fbank_{name}"]
+        assert feats.shape == ref.shape, name
+        np.testing.assert_allclose(feats, ref, atol=1e-4, rtol=0,
+                                   err_msg=name)
+
+
+def test_fbank_vs_live_kaldi_oracle():
+    """When transformers' S2T extractor is importable, re-derive the oracle
+    live on fresh random audio (catches golden-file staleness)."""
+    pytest.importorskip("transformers")
+    from transformers import Speech2TextFeatureExtractor
+
+    fe = Speech2TextFeatureExtractor(
+        feature_size=80, num_mel_bins=80, do_ceptral_normalize=False)
+    rng = np.random.RandomState(7)
+    wav = (rng.randn(23456) * 0.2).astype(np.float32).clip(-1, 1)
+    ref = fe(wav, sampling_rate=16000, return_tensors="np").input_features[0]
+    np.testing.assert_allclose(fbank80(wav), ref, atol=1e-4, rtol=0)
+
+
 def test_mel_filterbank_partition():
     fb = mel_filterbank(80, 512, 16000)
     assert fb.shape == (80, 257)

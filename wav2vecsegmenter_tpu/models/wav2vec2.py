@@ -48,6 +48,10 @@ class Wav2Vec2Config:
     num_conv_pos_embedding_groups: int = 16
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
+    # The fused attention kernel omits attention-prob dropout (PARITY.md);
+    # this flag enables it on an explicit-softmax XLA path, used to measure
+    # the omission's effect on fine-tuning (scripts/measure_attn_dropout.py).
+    apply_attention_prob_dropout: bool = False
     activation_dropout: float = 0.0
     feat_proj_dropout: float = 0.1
     layer_norm_eps: float = 1e-5
@@ -319,7 +323,7 @@ def positional_conv(params: dict, x: jax.Array, cfg: Wav2Vec2Config,
 
 def _mha(layer_attn: dict, x: jax.Array, key_mask: jax.Array | None,
          num_heads: int, deterministic: bool, rng, attn_dropout: float,
-         compute_dtype) -> jax.Array:
+         compute_dtype, apply_prob_dropout: bool = False) -> jax.Array:
     b, t, h = x.shape
     d = h // num_heads
     xc = x.astype(compute_dtype)
@@ -330,10 +334,24 @@ def _mha(layer_attn: dict, x: jax.Array, key_mask: jax.Array | None,
     q = proj(layer_attn["q"]).reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
     k = proj(layer_attn["k"]).reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
     v = proj(layer_attn["v"]).reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
-    out = attention(q, k, v, key_mask, scale=d ** -0.5)
-    # (attention-prob dropout omitted under bf16 fused kernel; applied only
-    # on the xla training path via attn_dropout on outputs is NOT equivalent,
-    # so we skip prob-dropout entirely — see train docs.)
+    if (apply_prob_dropout and not deterministic and attn_dropout > 0.0
+            and rng is not None):
+        # explicit-softmax path with attention-prob dropout (HF semantics);
+        # measurement-only — the fused kernel omits prob dropout, and
+        # scripts/measure_attn_dropout.py quantifies the difference
+        from ..ops.attention import NEG_INF
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * d**-0.5,
+                            k.astype(jnp.float32))
+        if key_mask is not None:
+            scores += jnp.where(key_mask[:, None, None, :], 0.0, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        keep = jax.random.bernoulli(rng, 1.0 - attn_dropout, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - attn_dropout), 0.0)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+    else:
+        # (attention-prob dropout omitted under the fused kernel — PARITY.md)
+        out = attention(q, k, v, key_mask, scale=d ** -0.5)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, h)
     o = layer_attn["o"]
     return out @ o["w"].astype(compute_dtype) + o["b"].astype(compute_dtype)
@@ -375,7 +393,7 @@ def encoder(params: dict, x: jax.Array, frame_mask: jax.Array,
             hn = layer_norm(h, layer["ln1"]["scale"], layer["ln1"]["bias"], eps)
             a = _mha(layer["attn"], hn, frame_mask, cfg.num_heads,
                      deterministic, rngs[0], cfg.attention_dropout,
-                     compute_dtype)
+                     compute_dtype, cfg.apply_attention_prob_dropout)
             a = _dropout(a, cfg.hidden_dropout, deterministic, rngs[1])
             h = h + a
             hn = layer_norm(h, layer["ln2"]["scale"], layer["ln2"]["bias"], eps)
@@ -401,7 +419,7 @@ def encoder(params: dict, x: jax.Array, frame_mask: jax.Array,
             # post-LN: h = LN1(h + attn(h)); h = LN2(h + ffn(h))
             a = _mha(layer["attn"], h, frame_mask, cfg.num_heads,
                      deterministic, rngs[0], cfg.attention_dropout,
-                     compute_dtype)
+                     compute_dtype, cfg.apply_attention_prob_dropout)
             a = _dropout(a, cfg.hidden_dropout, deterministic, rngs[1])
             h = layer_norm(h + a, layer["ln1"]["scale"], layer["ln1"]["bias"],
                            eps)
