@@ -211,7 +211,8 @@ def main() -> None:
             batches = BatchIterator(dataset, batch_size, 20.0, shuffle=False,
                                     device_normalize=on_tpu)
             probs, logits, _ = infer_talk(
-                engine, batches, dataset.duration_outframes
+                engine, batches, dataset.duration_outframes,
+                need_logits=False,  # pDAC consumes probabilities only
             )
             segments = pdac(probs, max_segment_length=10, threshold=0.5)
             return update_yaml_content([], segments, wav_path.name)

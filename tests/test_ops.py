@@ -131,3 +131,65 @@ def test_full_model_grads_pallas_vs_xla(rng):
     for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_xla)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-3)
+
+
+def test_strided_conv1d_as_matmul_matches_conv():
+    """Stride-folded GEMM conv vs lax.conv_general_dilated, all wav2vec2
+    layer geometries + odd lengths/strides (incl. stride 1 and k % s != 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vecsegmenter_tpu.models.wav2vec2 import _strided_conv1d_as_matmul
+
+    rng = np.random.RandomState(0)
+    cases = [
+        (10, 5, 1, 8, 1601),   # layer 0 geometry (tiny channels)
+        (3, 2, 8, 8, 321),     # layers 1-4
+        (2, 2, 8, 16, 80),     # layers 5-6
+        (3, 1, 4, 4, 50),      # stride 1
+        (5, 2, 4, 4, 53),      # k % s != 0, odd T
+        (4, 3, 4, 4, 52),      # k > s, n_taps=2, odd tail
+    ]
+    for (k, s, c, o, t) in cases:
+        x = rng.randn(2, t, c).astype(np.float32)
+        w = (rng.randn(k, c, o) * 0.1).astype(np.float32)
+        got = np.asarray(_strided_conv1d_as_matmul(
+            jnp.asarray(x), jnp.asarray(w), s, jnp.float32))
+        ref = np.asarray(jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w),
+            window_strides=(s,), padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC")))
+        assert got.shape == ref.shape, (k, s, t)
+        np.testing.assert_allclose(got, ref, atol=1e-4, err_msg=str((k, s, t)))
+
+
+def test_bias_ln_gelu_fused_matches_xla(rng):
+    """Fused conv-epilogue kernel (bias + LN + exact GELU) vs the unfused
+    XLA composition, forward and gradients."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from wav2vecsegmenter_tpu.ops.layernorm import (
+        _bln_gelu_xla, bias_layer_norm_gelu)
+
+    x = jnp.asarray(rng.randn(3, 137, 256).astype(np.float32))
+    cb = jnp.asarray(rng.randn(256).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rng.randn(256).astype(np.float32))
+    bias = jnp.asarray(rng.randn(256).astype(np.float32))
+
+    want = _bln_gelu_xla(x, cb, scale, bias, 1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        got = bias_layer_norm_gelu(x, cb, scale, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def loss_fused(x, cb, s, b):
+        with pltpu.force_tpu_interpret_mode():
+            return (bias_layer_norm_gelu(x, cb, s, b) ** 2).sum()
+
+    def loss_ref(x, cb, s, b):
+        return (_bln_gelu_xla(x, cb, s, b, 1e-5) ** 2).sum()
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, cb, scale, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, cb, scale, bias)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-4, rtol=1e-3)

@@ -182,7 +182,8 @@ def segment_wavs(
                 device_normalize=True,
             )
             probs, logits, _ = infer_talk(
-                engine, batches, dataset.duration_outframes
+                engine, batches, dataset.duration_outframes,
+                need_logits=(tag == "dac_logits"),
             )
             if sgm_frame_probs is None:
                 sgm_frame_probs, sgm_frame_logits = probs.copy(), logits.copy()

@@ -73,7 +73,8 @@ def generate_segmentation_tree(args) -> None:
                 float(args.inference_segment_length), shuffle=False,
             )
             probs, _, _ = infer_talk(engine, batches,
-                                     dataset.duration_outframes)
+                                     dataset.duration_outframes,
+                                     need_logits=False)
             sgm_frame_probs = probs if sgm_frame_probs is None else \
                 sgm_frame_probs + probs
         sgm_frame_probs /= args.inference_times

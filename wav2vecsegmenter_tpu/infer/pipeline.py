@@ -116,30 +116,24 @@ class WindowInference:
         key = "fwd_norm" if batch.device_normalize else "fwd"
         if key not in self._jitted:
             self._jitted[key] = self._make_forward(batch.device_normalize)
-        audio = jnp.asarray(batch.audio)
-        in_lengths = jnp.asarray(batch.in_lengths)
-        out_mask = jnp.asarray(batch.out_mask)
+        # ship every array of the batch in ONE device_put call: per-transfer
+        # round-trip latency dominates on remote-execution runtimes (measured
+        # ~29 ms RTT per put through the axon tunnel), and a single batched
+        # put pays it once
+        arrays = [batch.audio, batch.in_lengths, batch.out_mask]
+        if batch.device_normalize:
+            arrays += [np.asarray(batch.norm_length, np.int32), batch.included]
         if self.mesh is not None:
-            from ..parallel.mesh import batch_sharding
+            from ..parallel.mesh import batch_sharding, replicated
 
             sh = batch_sharding(self.mesh)
-            audio, in_lengths, out_mask = (
-                jax.device_put(x, sh) for x in (audio, in_lengths, out_mask)
-            )
-        if batch.device_normalize:
-            included = jnp.asarray(batch.included)
-            if self.mesh is not None:
-                from ..parallel.mesh import batch_sharding
-
-                included = jax.device_put(included, batch_sharding(self.mesh))
-            probs, logits = self._jitted[key](
-                self.params, audio, in_lengths, out_mask,
-                jnp.asarray(batch.norm_length, jnp.int32), included,
-            )
+            shardings = [sh, sh, sh]
+            if batch.device_normalize:
+                shardings += [replicated(self.mesh), sh]
+            arrays = jax.device_put(arrays, shardings)
         else:
-            probs, logits = self._jitted[key](
-                self.params, audio, in_lengths, out_mask
-            )
+            arrays = jax.device_put(arrays)
+        probs, logits = self._jitted[key](self.params, *arrays)
         return probs, logits
 
 
@@ -158,13 +152,18 @@ def infer_talk(
     duration_outframes: int,
     collect_targets: bool = False,
     return_loss: bool = False,
+    need_logits: bool = True,
 ):
     """Run all window batches of one talk and stitch.
 
     Returns (talk_probs, talk_logits, talk_targets[, avg_loss]) as numpy
-    arrays of length duration_outframes.
+    arrays of length duration_outframes.  With ``need_logits=False`` (the
+    pdac/pthr/strm algorithms consume probabilities only) the logits are
+    neither downloaded nor stitched — talk_logits comes back zero-filled —
+    halving the device->host bytes and round-trips per batch.
     """
     vocab_size = getattr(engine.model, "vocab_size", 1)
+    need_logits = need_logits or (return_loss and engine.loss_fn is not None)
     talk_probs = np.full(duration_outframes, np.nan)
     if vocab_size and vocab_size > 1:
         talk_logits = np.full((duration_outframes, vocab_size), np.nan)
@@ -180,8 +179,12 @@ def infer_talk(
     all_losses = []
 
     for probs_d, logits_d, batch in pending:
-        probs = np.asarray(probs_d)
-        logits = np.asarray(logits_d)
+        if need_logits:
+            # one batched device_get (a single round-trip on remote rigs)
+            probs, logits = jax.device_get((probs_d, logits_d))
+        else:
+            probs = np.asarray(probs_d)
+            logits = None
         if return_loss and engine.loss_fn is not None:
             all_losses.append(engine.batch_loss(batch, logits))
         for i in range(len(probs)):
@@ -196,7 +199,8 @@ def infer_talk(
             if batch.included[i] and end > start:
                 duration = end - start
                 talk_probs[start:end] = probs[i, :duration]
-                talk_logits[start:end] = logits[i, :duration]
+                if need_logits:
+                    talk_logits[start:end] = logits[i, :duration]
                 if collect_targets and batch.target is not None:
                     talk_targets[start:end] = batch.target[i, :duration]
             elif not batch.included[i] and end > start:
@@ -204,7 +208,10 @@ def infer_talk(
                 talk_logits[start:end] = 0
 
     nan_fill(talk_probs, duration_outframes)
-    nan_fill(talk_logits, duration_outframes)
+    if need_logits:
+        nan_fill(talk_logits, duration_outframes)
+    else:
+        talk_logits = np.zeros_like(talk_logits)
 
     if return_loss:
         avg = float(np.mean(all_losses)) if all_losses else None

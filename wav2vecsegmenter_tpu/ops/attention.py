@@ -57,12 +57,14 @@ def attention_xla(
 # ---------------------------------------------------------------------------
 
 def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
-    # block views: q/k/v [1, T, D] for one (batch, head); bias [1, 1, T]
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
+    # block views: q/k/v [1, T, D] for one (batch, head); bias [1, 1, T].
+    # Dots run in the INPUT dtype (bf16 in production — full MXU rate; f32
+    # matmuls run at quarter rate) with f32 accumulation; the scale is
+    # applied to the f32 scores so low dtypes lose nothing to pre-scaling.
     scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [T, T]
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [T, T]
     scores = scores + bias_ref[0, 0, :][None, :]
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -78,23 +80,27 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
     # grid dim and accumulated (index_map constant in jq)
     jq = pl.program_id(1)
 
-    q = q_ref[0].astype(jnp.float32)          # [Bq, D]
-    k = k_ref[0].astype(jnp.float32)          # [T, D]
-    v = v_ref[0].astype(jnp.float32)          # [T, D]
-    do = do_ref[0].astype(jnp.float32)        # [Bq, D]
-    bias = bias_ref[0, 0, :][None, :]         # [1, T]
+    # dots in the input dtype (bf16 at full MXU rate in production, f32 in
+    # tests), f32 accumulation; softmax statistics stay f32
+    dt = q_ref.dtype
+    q = q_ref[0]                               # [Bq, D]
+    k = k_ref[0]                               # [T, D]
+    v = v_ref[0]                               # [T, D]
+    do = do_ref[0]                             # [Bq, D]
+    bias = bias_ref[0, 0, :][None, :]          # [1, T]
 
     s = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())),
+        q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bias                                   # [Bq, T]
+    ) * scale + bias                           # [Bq, T]
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
+    pc = p.astype(dt)
 
     # dV += P^T dO
     dv = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )                                          # [T, D]
     # dP = dO V^T ; dS = P * (dP - rowsum(dP * P))
     dp = jax.lax.dot_general(
@@ -102,11 +108,12 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
     )                                          # [Bq, T]
     row = jnp.sum(dp * p, axis=-1, keepdims=True)
     ds = p * (dp - row)                        # [Bq, T]
+    dsc = ds.astype(dt)
     # dQ = dS K * scale
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dq = jnp.dot(dsc, k, preferred_element_type=jnp.float32) * scale
     # dK += dS^T Q * scale
     dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dsc, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                                  # [T, D]
 
     dq_ref[0] = dq.astype(dq_ref.dtype)

@@ -155,3 +155,101 @@ def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     if get_backend() == "pallas":
         return layer_norm_pallas(x, scale, bias, eps=eps)
     return layer_norm_xla(x, scale, bias, eps)
+
+
+# ---------------------------------------------------------------------------
+# fused conv epilogue: (+ channel bias) -> LayerNorm -> GELU in one pass
+#
+# The wav2vec2 feature extractor applies bias + LN + GELU after each conv
+# GEMM over activations as large as [B, 64000, 512]; as separate XLA ops
+# that's 3 extra HBM round-trips per layer.  This kernel does all three in
+# a single read/write.  Backward recomputes through the XLA composition
+# (the feature extractor is frozen under LNA fine-tuning, so the backward
+# is off the hot path).
+# ---------------------------------------------------------------------------
+
+def _bln_gelu_xla(x, conv_bias, scale, bias, eps):
+    y = layer_norm_xla(x + conv_bias.astype(x.dtype), scale, bias, eps)
+    return jax.nn.gelu(y, approximate=False)
+
+
+def _erf_approx(x):
+    """Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7 — far below the bf16
+    output resolution); Mosaic has no erf/erfc lowering."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _bln_gelu_kernel(x_ref, cb_ref, scale_ref, bias_ref, o_ref, *, eps):
+    x = x_ref[:].astype(jnp.float32) + cb_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale_ref[:] + bias_ref[:]
+    # exact GELU via the erf approximation
+    g = 0.5 * y * (1.0 + _erf_approx(y * (2.0 ** -0.5)))
+    o_ref[:] = g.astype(o_ref.dtype)
+
+
+def _bln_gelu_call(x2, cbias, scale, bias, eps, block_rows):
+    padded_rows, h = x2.shape
+    return pl.pallas_call(
+        functools.partial(_bln_gelu_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((padded_rows, h), x2.dtype),
+        grid=(padded_rows // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, h), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(x2, cbias, scale, bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _bln_gelu_2d(x2, cbias, scale, bias, eps, block_rows):
+    return _bln_gelu_call(x2, cbias, scale, bias, eps, block_rows)
+
+
+def _bln_gelu_2d_fwd(x2, cbias, scale, bias, eps, block_rows):
+    out = _bln_gelu_call(x2, cbias, scale, bias, eps, block_rows)
+    return out, (x2, cbias, scale, bias)
+
+
+def _bln_gelu_2d_bwd(eps, block_rows, res, g):
+    x2, cbias, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda a, cb, s, bi: _bln_gelu_xla(a, cb, s, bi, eps),
+        x2, cbias, scale, bias)
+    return vjp(g.astype(x2.dtype))
+
+
+_bln_gelu_2d.defvjp(_bln_gelu_2d_fwd, _bln_gelu_2d_bwd)
+
+
+def bias_layer_norm_gelu(x: jax.Array, conv_bias: jax.Array,
+                         scale: jax.Array, bias: jax.Array,
+                         eps: float = _EPS, block_rows: int = 256) -> jax.Array:
+    """(x + conv_bias) -> LayerNorm(scale, bias) -> exact GELU, fused."""
+    if get_backend() != "pallas":
+        return _bln_gelu_xla(x, conv_bias, scale, bias, eps)
+    orig_shape = x.shape
+    h = orig_shape[-1]
+    rows = 1
+    for d in orig_shape[:-1]:
+        rows *= d
+    x2 = x.reshape(rows, h)
+    padded_rows = ((rows + block_rows - 1) // block_rows) * block_rows
+    if padded_rows != rows:
+        x2 = jnp.pad(x2, ((0, padded_rows - rows), (0, 0)))
+    out = _bln_gelu_2d(x2, conv_bias, scale, bias, eps, block_rows)
+    return out[:rows].reshape(orig_shape)
