@@ -133,6 +133,44 @@ def test_full_model_grads_pallas_vs_xla(rng):
                                    atol=5e-4, rtol=5e-3)
 
 
+def test_attention_bthd_fwd_and_grads(rng):
+    """Packed-layout kernel vs XLA, incl. the bwd time-padding path
+    (t=300 > block_q=256 forces a padded final query block)."""
+    from wav2vecsegmenter_tpu.ops.attention import (
+        attention_pallas_bthd, attention_xla_bthd)
+
+    b, t, h, d = 2, 300, 4, 32
+    q = jnp.asarray(rng.randn(b, t, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, t, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, t, h, d).astype(np.float32))
+    lens = np.array([300, 211])
+    mask = jnp.asarray(np.arange(t)[None, :] < lens[:, None])
+    scale = d ** -0.5
+
+    want = attention_xla_bthd(q, k, v, mask, scale)
+    with pltpu.force_tpu_interpret_mode():
+        got = attention_pallas_bthd(q, k, v, mask, scale)
+    w, g, m = np.asarray(want), np.asarray(got), np.asarray(mask)
+    for i in range(b):
+        np.testing.assert_allclose(g[i, m[i]], w[i, m[i]], atol=2e-5)
+
+    cot = jnp.asarray(rng.randn(b, t, h, d).astype(np.float32))
+    cot = jnp.where(mask[:, :, None, None], cot, 0.0)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention_xla_bthd(q, k, v, mask, scale) * cot)
+
+    def loss_pl(q, k, v):
+        return jnp.sum(attention_pallas_bthd(q, k, v, mask, scale) * cot)
+
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-4, rtol=1e-3)
+
+
 def test_strided_conv1d_as_matmul_matches_conv():
     """Stride-folded GEMM conv vs lax.conv_general_dilated, all wav2vec2
     layer geometries + odd lengths/strides (incl. stride 1 and k % s != 0)."""
@@ -149,6 +187,8 @@ def test_strided_conv1d_as_matmul_matches_conv():
         (3, 1, 4, 4, 50),      # stride 1
         (5, 2, 4, 4, 53),      # k % s != 0, odd T
         (4, 3, 4, 4, 52),      # k > s, n_taps=2, odd tail
+        (3, 2, 64, 8, 321),    # s*c=128 > 64: wide-channel accumulate path
+        (5, 2, 48, 8, 95),     # wide path with zero-padded trailing tap
     ]
     for (k, s, c, o, t) in cases:
         x = rng.randn(2, t, c).astype(np.float32)

@@ -15,7 +15,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import attention
+from ..ops.attention import attention_bthd
 from ..ops.layernorm import layer_norm
 
 _EPS = 1e-5
@@ -99,14 +99,17 @@ def sfc_forward(
             b, t, d_model = hn.shape
             dh = d_model // n_heads
 
-            def proj(p):
-                return hn @ p["w"].astype(compute_dtype) + p["b"].astype(compute_dtype)
-
-            q = proj(layer["attn"]["q"]).reshape(b, t, n_heads, dh).transpose(0, 2, 1, 3)
-            k = proj(layer["attn"]["k"]).reshape(b, t, n_heads, dh).transpose(0, 2, 1, 3)
-            v = proj(layer["attn"]["v"]).reshape(b, t, n_heads, dh).transpose(0, 2, 1, 3)
-            a = attention(q, k, v, out_mask, scale=dh ** -0.5)
-            a = a.transpose(0, 2, 1, 3).reshape(b, t, d_model)
+            # fused QKV GEMM + packed [B, T, H, D] attention (no transposes)
+            wqkv = jnp.concatenate(
+                [layer["attn"][n]["w"] for n in ("q", "k", "v")], axis=1
+            ).astype(compute_dtype)
+            bqkv = jnp.concatenate(
+                [layer["attn"][n]["b"] for n in ("q", "k", "v")]
+            ).astype(compute_dtype)
+            qkv = (hn @ wqkv + bqkv).reshape(b, t, 3, n_heads, dh)
+            a = attention_bthd(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+                               out_mask, scale=dh ** -0.5)
+            a = a.reshape(b, t, d_model)
             a = a @ layer["attn"]["o"]["w"].astype(compute_dtype) + \
                 layer["attn"]["o"]["b"].astype(compute_dtype)
             if not deterministic and rngs[0] is not None:

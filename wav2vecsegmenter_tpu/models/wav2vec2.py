@@ -262,10 +262,32 @@ def _strided_conv1d_as_matmul(x: jax.Array, w: jax.Array, stride: int,
     elif t_need < t:
         x = x[:, :t_need]
     y = x.reshape(b, n_taps + t_out - 1, stride * c).astype(compute_dtype)
+    w = w.astype(compute_dtype)
 
+    if stride * c <= 64:
+        # tiny-channel fast path (the raw-audio layer: s*c == 5): each
+        # accumulated tap GEMM costs a full 128-deep MXU pass over the
+        # [B*T', O] output regardless of its tiny K, so n_taps passes double
+        # the MXU time, and the concat that merges them into ONE GEMM of
+        # K = n_taps*s*c is only a [B, T', n_taps*s*c] materialization —
+        # ~20 MB here, noise next to the 1 GB output
+        z = jnp.concatenate(
+            [jax.lax.slice_in_dim(y, p, p + t_out, 1, axis=1)
+             for p in range(n_taps)], axis=-1)
+        w_full = w.reshape(k * c, o)
+        if n_taps * stride > k:
+            w_full = jnp.pad(w_full, ((0, (n_taps * stride - k) * c), (0, 0)))
+        out = jax.lax.dot_general(
+            z, w_full, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(compute_dtype)
+
+    # wide-channel path: K = s*C per tap is already MXU-deep (1024 for the
+    # 512-ch layers) and a concat would materialize a doubled activation
+    # (GBs); accumulate n_taps GEMMs over shifted views instead.
     # tap p covers original kernel positions j' in [p*s, p*s + s) (zero rows
     # where j' >= k): w_tap[p][j*C + c, o] = w[p*s + j, c, o]
-    w = w.astype(compute_dtype)
     acc = None
     for p in range(n_taps):
         j_hi = min(stride, k - p * stride)
@@ -352,12 +374,21 @@ def _mha(layer_attn: dict, x: jax.Array, key_mask: jax.Array | None,
     d = h // num_heads
     xc = x.astype(compute_dtype)
 
-    def proj(p):
-        return (xc @ p["w"].astype(compute_dtype) + p["b"].astype(compute_dtype))
-
-    q = proj(layer_attn["q"]).reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
-    k = proj(layer_attn["k"]).reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
-    v = proj(layer_attn["v"]).reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
+    # single fused QKV GEMM: one [h, 3h] matmul runs ~2x faster than three
+    # [h, h] matmuls on v5e (wider N amortizes the MXU pipeline; measured
+    # 39 vs 65+ TF/s), and the runtime concat of the per-head weights is a
+    # 6 MB copy — noise next to the 33 GFLOP GEMM
+    wqkv = jnp.concatenate(
+        [layer_attn[n]["w"] for n in ("q", "k", "v")], axis=1
+    ).astype(compute_dtype)
+    bqkv = jnp.concatenate(
+        [layer_attn[n]["b"] for n in ("q", "k", "v")]
+    ).astype(compute_dtype)
+    qkv = (xc @ wqkv + bqkv).reshape(b, t, 3, num_heads, d)
+    # one packed relayout to [3, B, H, T, D]; the per-tensor slices below are
+    # then layout-preserving bitcasts instead of three separate copies
+    qkv = qkv.transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
     if (apply_prob_dropout and not deterministic and attn_dropout > 0.0
             and rng is not None):
         # explicit-softmax path with attention-prob dropout (HF semantics);
@@ -459,6 +490,13 @@ def encoder(params: dict, x: jax.Array, frame_mask: jax.Array,
         return (h, i + 1), None
 
     layers = params["layers"]
+    # cast the stacked layer params ONCE, outside the scan: otherwise XLA
+    # emits per-layer f32->bf16 converts as operand fusions on the GEMMs
+    # (measured: the dynamic-slice+convert prologue cut the FFN w2 GEMM from
+    # ~190 to ~81 TF/s on v5e); a single hoisted convert is one clean pass
+    layers = jax.tree.map(
+        lambda a: a.astype(compute_dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, layers)
     n_total = jax.tree.leaves(layers)[0].shape[0]
     n_frozen = max(0, min(n_frozen_layers, n_total))
 

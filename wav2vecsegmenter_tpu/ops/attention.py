@@ -1,14 +1,25 @@
 """Multi-head self-attention over padded windows, differentiable.
 
-Windows are <=1024 frames (20 s x 49.95 Hz = 999, padded to the next lane
-multiple), so the whole score matrix of one (batch, head) fits comfortably in
-VMEM: the Pallas forward kernel computes QK^T, the masked softmax and the PV
-product in a single fused pass per (batch, head) grid cell — one HBM read of
-Q/K/V, one write of O, no [B,H,T,T] intermediate ever touching HBM.
+Windows are <=1024 frames (20 s x 49.95 Hz = 999), so the whole score matrix
+of one (batch, head) fits comfortably in VMEM: the Pallas forward kernel
+computes QK^T, the masked softmax and the PV product in a single fused pass
+per (batch, head) grid cell — one HBM read of Q/K/V, one write of O, no
+[B,H,T,T] intermediate ever touching HBM.
+
+Layout: the kernels run on [B, H, T, D] with (1, 1, T, D) blocks, T and D
+left UNPADDED (blocks spanning full dims are legal at any size; a packed
+[B, T, H, D] layout can't feed the kernel because Mosaic rejects middle-dim
+blocks of extent 1 < 8 sublanes).  ``attention_bthd`` takes the packed
+[B, T, H, D] shape the fused QKV GEMM produces and does the head transpose
+internally.  Versus the original kernels this drops the D=64->128
+zero-padding (which doubled kernel HBM traffic for nothing: the MXU pads
+the 64-deep contraction internally either way) and the T padding to a lane
+multiple.  The softmax division is deferred past the PV matmul — dividing
+[T, D] instead of [T, T] cuts a full score-sized VPU pass + write per cell.
 
 The backward pass is a second fused kernel (flash-attention style, blocked
-over query rows): probabilities are recomputed from Q/K (cheaper than storing
-the [T,T] matrix), then dV = P^T dO, dS = P*(dP - rowsum(dP*P)),
+over query rows): probabilities are recomputed from Q/K (cheaper than
+storing the [T,T] matrix), then dV = P^T dO, dS = P*(dP - rowsum(dP*P)),
 dQ = dS K * scale, dK = dS^T Q * scale, with dK/dV accumulated across query
 blocks in revisited output blocks.  Wired up with jax.custom_vjp so the same
 fused kernels serve LNA fine-tuning (reference lib/models.py:351-365) —
@@ -35,6 +46,23 @@ from .backend import get_backend
 NEG_INF = -1e30
 
 
+def attention_xla_bthd(
+    q: jax.Array,  # [B, T, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: jax.Array | None,  # [B, T] bool, True = valid
+    scale: float,
+) -> jax.Array:
+    q32 = q.astype(jnp.float32)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q32 * scale, k.astype(jnp.float32))
+    if key_mask is not None:
+        bias = jnp.where(key_mask[:, None, None, :], 0.0, NEG_INF)
+        scores = scores + bias
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
 def attention_xla(
     q: jax.Array,  # [B, H, T, D]
     k: jax.Array,
@@ -53,40 +81,45 @@ def attention_xla(
 
 
 # ---------------------------------------------------------------------------
-# pallas kernels (operate on [BH, T, D] with a float additive key bias)
+# pallas kernels: blocks slice one (batch, head) out of [B, T, H, D];
+# bias is a float additive key bias [B, 1, T]
 # ---------------------------------------------------------------------------
 
 def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
-    # block views: q/k/v [1, T, D] for one (batch, head); bias [1, 1, T].
+    # block views: q/k/v [1, 1, T, D] for one (batch, head); bias [1, 1, T].
     # Dots run in the INPUT dtype (bf16 in production — full MXU rate; f32
     # matmuls run at quarter rate) with f32 accumulation; the scale is
     # applied to the f32 scores so low dtypes lose nothing to pre-scaling.
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
     scores = jax.lax.dot_general(
-        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [T, T]
     scores = scores + bias_ref[0, 0, :][None, :]
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    probs = e / jnp.sum(e, axis=-1, keepdims=True)
-    out = jnp.dot(probs.astype(v_ref.dtype), v_ref[0],
+    # deferred normalization: PV first, divide the [T, D] result (a [T, T]
+    # division + write is a full extra VPU pass over the score matrix)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    out = jnp.dot(e.astype(v_ref.dtype), v_ref[0, 0],
                   preferred_element_type=jnp.float32)
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[0, 0] = (out / s).astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
                      dq_ref, dk_ref, dv_ref, *, scale: float, block_q: int):
-    # grid: (BH, T // block_q); dk/dv blocks are revisited across the inner
-    # grid dim and accumulated (index_map constant in jq)
-    jq = pl.program_id(1)
+    # grid: (B, H, T // block_q); dk/dv blocks are revisited across the
+    # innermost grid dim and accumulated (index_map constant in jq)
+    jq = pl.program_id(2)
 
     # dots in the input dtype (bf16 at full MXU rate in production, f32 in
     # tests), f32 accumulation; softmax statistics stay f32
     dt = q_ref.dtype
-    q = q_ref[0]                               # [Bq, D]
-    k = k_ref[0]                               # [T, D]
-    v = v_ref[0]                               # [T, D]
-    do = do_ref[0]                             # [Bq, D]
+    q = q_ref[0, 0]                            # [Bq, D]
+    k = k_ref[0, 0]                            # [T, D]
+    v = v_ref[0, 0]                            # [T, D]
+    do = do_ref[0, 0]                          # [Bq, D]
     bias = bias_ref[0, 0, :][None, :]          # [1, T]
 
     s = jax.lax.dot_general(
@@ -116,97 +149,81 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
         dsc, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                                  # [T, D]
 
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
     @pl.when(jq == 0)
     def _():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        dk_ref[...] = jnp.zeros_like(dk_ref[...])
+        dv_ref[...] = jnp.zeros_like(dv_ref[...])
 
-    dk_ref[0] += dk.astype(dk_ref.dtype)
-    dv_ref[0] += dv.astype(dv_ref.dtype)
+    dk_ref[0, 0] += dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] += dv.astype(dv_ref.dtype)
 
 
-def _pad_qkv(q, k, v, key_mask):
-    b, h, t, d = q.shape
-    t_pad = ((t + 127) // 128) * 128
-    d_pad = ((d + 127) // 128) * 128
+def _key_bias(key_mask, b, t):
     if key_mask is None:
-        key_mask = jnp.ones((b, t), bool)
-    if t_pad != t or d_pad != d:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, t_pad - t), (0, d_pad - d)))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, t_pad - t), (0, d_pad - d)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, t_pad - t), (0, d_pad - d)))
-        key_mask = jnp.pad(key_mask, ((0, 0), (0, t_pad - t)))
-    bias = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
-    qf = q.reshape(b * h, t_pad, d_pad)
-    kf = k.reshape(b * h, t_pad, d_pad)
-    vf = v.reshape(b * h, t_pad, d_pad)
-    biasf = jnp.repeat(bias, h, axis=0)[:, None, :]  # [BH, 1, T]
-    return qf, kf, vf, biasf, t_pad, d_pad
+        return jnp.zeros((b, 1, t), jnp.float32)
+    return jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
 
 
-def _fwd_call(qf, kf, vf, biasf, scale):
-    bh, t_pad, d_pad = qf.shape
+def _fwd_call(q, k, v, bias, scale):
+    b, h, t, d = q.shape
+    spec = pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_attn_fwd_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d_pad), qf.dtype),
-        grid=(bh,),
+        out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+        grid=(b, h),
         in_specs=[
-            pl.BlockSpec((1, t_pad, d_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, d_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, d_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad), lambda i: (i, 0, 0),
+            spec, spec, spec,
+            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t_pad, d_pad), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=spec,
         cost_estimate=pl.CostEstimate(
-            flops=4 * t_pad * t_pad * d_pad * bh,
-            bytes_accessed=4 * bh * t_pad * d_pad * 4,
-            transcendentals=bh * t_pad * t_pad,
+            flops=4 * t * t * d * b * h,
+            bytes_accessed=4 * b * h * t * d * q.dtype.itemsize,
+            transcendentals=b * h * t * t,
         ),
-    )(qf, kf, vf, biasf)
+    )(q, k, v, bias)
 
 
-def _bwd_call(qf, kf, vf, biasf, dof, scale):
-    bh, t_pad, d_pad = qf.shape
-    block_q = min(256, t_pad)
-    n_q = t_pad // block_q
-    grid = (bh, n_q)
+def _bwd_call(q, k, v, bias, do, scale):
+    b, h, t_orig, d = q.shape
+    block_q = min(256, t_orig)
+    t = pl.cdiv(t_orig, block_q) * block_q
+    if t != t_orig:
+        # zero-pad time to a whole number of query blocks; padded keys get
+        # -inf bias (=> zero dk/dv contributions) and padded query rows have
+        # do == 0 (=> ds == 0), so the accumulated grads stay exact
+        pad = ((0, 0), (0, 0), (0, t - t_orig), (0, 0))
+        q, k, v, do = (jnp.pad(a, pad) for a in (q, k, v, do))
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, t - t_orig)),
+                       constant_values=NEG_INF)
+    n_q = t // block_q
     f32 = jnp.float32
+    qspec = pl.BlockSpec((1, 1, block_q, d), lambda i, j, jq: (i, j, jq, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, 1, t, d), lambda i, j, jq: (i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale, block_q=block_q),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, t_pad, d_pad), f32),
-            jax.ShapeDtypeStruct((bh, t_pad, d_pad), f32),
-            jax.ShapeDtypeStruct((bh, t_pad, d_pad), f32),
+            jax.ShapeDtypeStruct((b, h, t, d), f32),
+            jax.ShapeDtypeStruct((b, h, t, d), f32),
+            jax.ShapeDtypeStruct((b, h, t, d), f32),
         ),
-        grid=grid,
+        grid=(b, h, n_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
+            qspec, kvspec, kvspec,
+            pl.BlockSpec((1, 1, t), lambda i, j, jq: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, d_pad), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, d_pad), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
+            qspec,
         ],
-        out_specs=(
-            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, d_pad), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, d_pad), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-    )(qf, kf, vf, biasf, dof)
+        out_specs=(qspec, kvspec, kvspec),
+    )(q, k, v, bias, do)
+    if t != t_orig:
+        dq, dk, dv = (a[:, :, :t_orig] for a in (dq, dk, dv))
     return dq, dk, dv
 
 
@@ -215,23 +232,61 @@ def _bwd_call(qf, kf, vf, biasf, dof, scale):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _fused_attention(qf, kf, vf, biasf, scale):
-    return _fwd_call(qf, kf, vf, biasf, scale)
+def _fused_attention(q, k, v, bias, scale):
+    return _fwd_call(q, k, v, bias, scale)
 
 
-def _fused_fwd(qf, kf, vf, biasf, scale):
-    out = _fwd_call(qf, kf, vf, biasf, scale)
-    return out, (qf, kf, vf, biasf)
+def _fused_fwd(q, k, v, bias, scale):
+    out = _fwd_call(q, k, v, bias, scale)
+    return out, (q, k, v, bias)
 
 
 def _fused_bwd(scale, res, g):
-    qf, kf, vf, biasf = res
-    dq, dk, dv = _bwd_call(qf, kf, vf, biasf, g, scale)
-    return (dq.astype(qf.dtype), dk.astype(kf.dtype), dv.astype(vf.dtype),
-            jnp.zeros_like(biasf))
+    q, k, v, bias = res
+    dq, dk, dv = _bwd_call(q, k, v, bias, g, scale)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            jnp.zeros_like(bias))
 
 
 _fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+def attention_pallas_bthd(
+    q: jax.Array,  # [B, T, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: jax.Array | None,
+    scale: float,
+) -> jax.Array:
+    # one [B,T,H,D] -> [B,H,T,D] transpose per operand (Mosaic blocks can't
+    # slice a middle dim whose block extent is 1 < 8, so the packed layout
+    # cannot feed the kernel directly); T and D stay UNPADDED — blocks span
+    # the full dims, which Mosaic accepts at any size
+    b, t, h, d = q.shape
+    bias = _key_bias(key_mask, b, t)
+    out = _fused_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                           v.transpose(0, 2, 1, 3), bias, float(scale))
+    return out.transpose(0, 2, 1, 3)
+
+
+def attention_bthd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: jax.Array | None = None,
+    scale: float | None = None,
+) -> jax.Array:
+    """Self-attention in packed layout: q/k/v [B, T, H, D], key_mask [B, T].
+
+    The preferred entry point: feed the QKV projection output directly
+    (reshape [B, T, 3, H, D] and slice — no transpose), get back [B, T, H, D]
+    ready for a reshape into the output projection.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if get_backend() == "pallas":
+        return attention_pallas_bthd(q, k, v, key_mask, scale)
+    return attention_xla_bthd(q, k, v, key_mask, scale)
 
 
 def attention_pallas(
@@ -242,10 +297,8 @@ def attention_pallas(
     scale: float,
 ) -> jax.Array:
     b, h, t, d = q.shape
-    qf, kf, vf, biasf, t_pad, d_pad = _pad_qkv(q, k, v, key_mask)
-    out = _fused_attention(qf, kf, vf, biasf, float(scale))
-    out = out.reshape(b, h, t_pad, d_pad)
-    return out[:, :, :t, :d]
+    bias = _key_bias(key_mask, b, t)
+    return _fused_attention(q, k, v, bias, float(scale))
 
 
 def attention(
@@ -255,7 +308,11 @@ def attention(
     key_mask: jax.Array | None = None,
     scale: float | None = None,
 ) -> jax.Array:
-    """Self-attention dispatch: q/k/v [B, H, T, D], key_mask [B, T] bool."""
+    """Self-attention dispatch: q/k/v [B, H, T, D], key_mask [B, T] bool.
+
+    Legacy layout — prefer :func:`attention_bthd`, which skips the head
+    transpose entirely.
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if get_backend() == "pallas":
