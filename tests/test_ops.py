@@ -171,6 +171,38 @@ def test_attention_bthd_fwd_and_grads(rng):
                                    atol=3e-4, rtol=1e-3)
 
 
+def test_attention_cross_tq_ne_tk(rng):
+    """Cross-attention (decoder over encoder memory): tq != tk, fwd + grads.
+    Exercises the kv-length specs and the query-only bwd padding."""
+    b, h, tq, tk, d = 2, 2, 37, 300, 32
+    q = jnp.asarray(rng.randn(b, h, tq, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, h, tk, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, tk, d).astype(np.float32))
+    lens = np.array([300, 180])
+    mask = jnp.asarray(np.arange(tk)[None, :] < lens[:, None])
+    scale = d ** -0.5
+
+    want = attention_xla(q, k, v, mask, scale)
+    with pltpu.force_tpu_interpret_mode():
+        got = attention_pallas(q, k, v, mask, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    cot = jnp.asarray(rng.randn(b, h, tq, d).astype(np.float32))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention_xla(q, k, v, mask, scale) * cot)
+
+    def loss_pl(q, k, v):
+        return jnp.sum(attention_pallas(q, k, v, mask, scale) * cot)
+
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-4, rtol=1e-3)
+
+
 def test_strided_conv1d_as_matmul_matches_conv():
     """Stride-folded GEMM conv vs lax.conv_general_dilated, all wav2vec2
     layer geometries + odd lengths/strides (incl. stride 1 and k % s != 0)."""

@@ -167,63 +167,67 @@ def _key_bias(key_mask, b, t):
 
 
 def _fwd_call(q, k, v, bias, scale):
-    b, h, t, d = q.shape
-    spec = pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0),
-                        memory_space=pltpu.VMEM)
+    # tq may differ from tk (decoder cross-attention); bias covers the keys
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    qspec = pl.BlockSpec((1, 1, tq, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, 1, tk, d), lambda i, j: (i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_attn_fwd_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
         grid=(b, h),
         in_specs=[
-            spec, spec, spec,
-            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0),
+            qspec, kvspec, kvspec,
+            pl.BlockSpec((1, 1, tk), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=spec,
+        out_specs=qspec,
         cost_estimate=pl.CostEstimate(
-            flops=4 * t * t * d * b * h,
-            bytes_accessed=4 * b * h * t * d * q.dtype.itemsize,
-            transcendentals=b * h * t * t,
+            flops=4 * tq * tk * d * b * h,
+            bytes_accessed=2 * b * h * (tq + tk) * d * q.dtype.itemsize,
+            transcendentals=b * h * tq * tk,
         ),
     )(q, k, v, bias)
 
 
 def _bwd_call(q, k, v, bias, do, scale):
-    b, h, t_orig, d = q.shape
-    block_q = min(256, t_orig)
-    t = pl.cdiv(t_orig, block_q) * block_q
-    if t != t_orig:
-        # zero-pad time to a whole number of query blocks; padded keys get
-        # -inf bias (=> zero dk/dv contributions) and padded query rows have
-        # do == 0 (=> ds == 0), so the accumulated grads stay exact
-        pad = ((0, 0), (0, 0), (0, t - t_orig), (0, 0))
-        q, k, v, do = (jnp.pad(a, pad) for a in (q, k, v, do))
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, t - t_orig)),
-                       constant_values=NEG_INF)
-    n_q = t // block_q
+    # tq may differ from tk (decoder cross-attention)
+    b, h, tq_orig, d = q.shape
+    tk = k.shape[2]
+    block_q = min(256, tq_orig)
+    tq = pl.cdiv(tq_orig, block_q) * block_q
+    if tq != tq_orig:
+        # zero-pad QUERY time to a whole number of blocks; padded query rows
+        # have do == 0 (=> ds == 0), so the dk/dv accumulation stays exact
+        # and their dq rows are sliced off below.  Keys keep tk unpadded.
+        pad = ((0, 0), (0, 0), (0, tq - tq_orig), (0, 0))
+        q, do = (jnp.pad(a, pad) for a in (q, do))
+    n_q = tq // block_q
     f32 = jnp.float32
     qspec = pl.BlockSpec((1, 1, block_q, d), lambda i, j, jq: (i, j, jq, 0),
                          memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((1, 1, t, d), lambda i, j, jq: (i, j, 0, 0),
+    kvspec = pl.BlockSpec((1, 1, tk, d), lambda i, j, jq: (i, j, 0, 0),
                           memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale, block_q=block_q),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, t, d), f32),
-            jax.ShapeDtypeStruct((b, h, t, d), f32),
-            jax.ShapeDtypeStruct((b, h, t, d), f32),
+            jax.ShapeDtypeStruct((b, h, tq, d), f32),
+            jax.ShapeDtypeStruct((b, h, tk, d), f32),
+            jax.ShapeDtypeStruct((b, h, tk, d), f32),
         ),
         grid=(b, h, n_q),
         in_specs=[
             qspec, kvspec, kvspec,
-            pl.BlockSpec((1, 1, t), lambda i, j, jq: (i, 0, 0),
+            pl.BlockSpec((1, 1, tk), lambda i, j, jq: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             qspec,
         ],
         out_specs=(qspec, kvspec, kvspec),
     )(q, k, v, bias, do)
-    if t != t_orig:
-        dq, dk, dv = (a[:, :, :t_orig] for a in (dq, dk, dv))
+    if tq != tq_orig:
+        dq = dq[:, :, :tq_orig]
     return dq, dk, dv
 
 
@@ -263,7 +267,7 @@ def attention_pallas_bthd(
     # cannot feed the kernel directly); T and D stay UNPADDED — blocks span
     # the full dims, which Mosaic accepts at any size
     b, t, h, d = q.shape
-    bias = _key_bias(key_mask, b, t)
+    bias = _key_bias(key_mask, b, k.shape[1])  # bias covers the KEYS
     out = _fused_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                            v.transpose(0, 2, 1, 3), bias, float(scale))
     return out.transpose(0, 2, 1, 3)
@@ -297,7 +301,7 @@ def attention_pallas(
     scale: float,
 ) -> jax.Array:
     b, h, t, d = q.shape
-    bias = _key_bias(key_mask, b, t)
+    bias = _key_bias(key_mask, b, k.shape[2])  # bias covers the KEYS
     return _fused_attention(q, k, v, bias, float(scale))
 
 
