@@ -1,0 +1,89 @@
+"""Opt-in REAL-TPU smoke tests (set W2VSEG_TPU_TESTS=1 to enable).
+
+The regular suite runs the Pallas kernels in interpret mode on CPU, which
+does NOT enforce Mosaic's lowering rules (e.g. the last two dims of every
+BlockSpec block must divide (8, 128) or equal the array dims) — two kernels
+passed interpret mode but failed to lower on hardware during development.
+These tests compile the kernels on the actual TPU in a subprocess (the
+conftest pins this process to the CPU platform, so hardware checks must
+re-exec without JAX_PLATFORMS).
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("W2VSEG_TPU_TESTS"),
+    reason="real-TPU smoke disabled (set W2VSEG_TPU_TESTS=1)",
+)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_on_tpu(body: str, timeout: int = 900) -> str:
+    env = dict(os.environ)
+    # conftest pinned this process to cpu; the child needs the real TPU
+    # platform.  Experimental platforms (e.g. the axon tunnel) are excluded
+    # from jax auto-selection, so they must be named explicitly:
+    # W2VSEG_TPU_PLATFORM=axon on that rig, default "tpu" elsewhere.
+    env["JAX_PLATFORMS"] = os.environ.get("W2VSEG_TPU_PLATFORM", "tpu")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in os.environ.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f)
+    # PREPEND the repo — the existing PYTHONPATH may carry the platform
+    # plugin's sitecustomize dir (clobbering it loses the TPU platform)
+    prior = os.environ.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = _REPO + (os.pathsep + prior if prior else "")
+    script = textwrap.dedent(body)
+    r = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True, timeout=timeout)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    return r.stdout
+
+
+def test_kernels_lower_and_match_on_tpu():
+    out = _run_on_tpu("""
+        import numpy as np, jax, jax.numpy as jnp
+        assert jax.default_backend() == "tpu", jax.default_backend()
+        from wav2vecsegmenter_tpu.ops.attention import (
+            attention_pallas, attention_xla)
+        from wav2vecsegmenter_tpu.ops.layernorm import (
+            _bln_gelu_xla, bias_layer_norm_gelu, layer_norm_pallas,
+            layer_norm_xla)
+        rng = np.random.RandomState(0)
+
+        # attention: self (odd T) + cross (tq != tk), fwd + grad
+        for tq, tk in ((99, 99), (37, 300)):
+            q = jax.device_put(rng.randn(2, 4, tq, 64).astype(np.float32))
+            k = jax.device_put(rng.randn(2, 4, tk, 64).astype(np.float32))
+            v = jax.device_put(rng.randn(2, 4, tk, 64).astype(np.float32))
+            mask = jax.device_put(
+                np.arange(tk)[None, :] < np.array([tk, tk - 17])[:, None])
+            want = np.asarray(attention_xla(q, k, v, mask, 0.125))
+            got = np.asarray(jax.jit(
+                lambda q, k, v: attention_pallas(q, k, v, mask, 0.125)
+            )(q, k, v))
+            np.testing.assert_allclose(got, want, atol=5e-3)
+            g = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+                attention_pallas(q, k, v, mask, 0.125) ** 2),
+                argnums=(0, 1, 2)))(q, k, v)
+            assert all(bool(jnp.isfinite(a).all()) for a in g)
+
+        # fused LayerNorm + conv epilogue
+        x = jax.device_put(rng.randn(3, 137, 256).astype(np.float32))
+        s = jax.device_put(rng.randn(256).astype(np.float32))
+        b = jax.device_put(rng.randn(256).astype(np.float32))
+        cb = jax.device_put((rng.randn(256) * 0.1).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(layer_norm_pallas)(x, s, b)),
+            np.asarray(layer_norm_xla(x, s, b)), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(bias_layer_norm_gelu)(x, cb, s, b)),
+            np.asarray(_bln_gelu_xla(x, cb, s, b, 1e-5)), atol=5e-3)
+        print("TPU_KERNEL_SMOKE_OK")
+    """)
+    assert "TPU_KERNEL_SMOKE_OK" in out
