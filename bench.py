@@ -157,7 +157,10 @@ def main() -> None:
     # Random weights: throughput is weight-independent.
     keep_layers = 24 if on_tpu else 2
     talk_secs = float(os.environ.get("BENCH_TALK_SECS", 600 if on_tpu else 60))
-    batch_size = int(os.environ.get("BENCH_BATCH", 16))
+    # batch 10: 600 s / 20 s windows = 3 full batches in ONE shape bucket,
+    # and the 3-deep pipeline hides uploads under compute (measured 1110x
+    # vs 869x at batch 16, whose first-batch upload is exposed)
+    batch_size = int(os.environ.get("BENCH_BATCH", 10))
 
     model = SHAS(
         wav2vec_model_name="facebook/wav2vec2-xls-r-300m",

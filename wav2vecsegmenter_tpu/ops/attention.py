@@ -81,8 +81,8 @@ def attention_xla(
 
 
 # ---------------------------------------------------------------------------
-# pallas kernels: blocks slice one (batch, head) out of [B, T, H, D];
-# bias is a float additive key bias [B, 1, T]
+# pallas kernels: blocks slice one (batch, head) out of [B, H, T, D];
+# bias is a float additive key bias [B, 1, T_k]
 # ---------------------------------------------------------------------------
 
 def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
