@@ -26,7 +26,7 @@ from ..checkpoints.io import load_model_checkpoint
 from ..config import Config, instantiate, to_plain, to_yaml
 from ..data.datasets import FixedSegmentationDatasetNoTarget
 from ..data.loader import BatchIterator
-from ..infer.pipeline import WindowInference, infer_talk
+from ..infer.pipeline import WindowInference
 from ..ops.backend import set_backend
 
 logger = logging.getLogger("wav2vecsegmenter_tpu")
@@ -163,16 +163,16 @@ def segment_wavs(
         jax.profiler.start_trace(str(profile_dir))
         profiling = True
 
-    yaml_content: list[dict] = []
-    total_audio_secs = 0.0
-    t_all = time.perf_counter()
-    for wav_path in tqdm(wav_paths, desc="talks"):
-        t_talk = time.perf_counter()
+    from ..infer.pipeline import collect_talk, dispatch_talk
+
+    need_logits = tag == "dac_logits"
+
+    def dispatch_one(wav_path):
+        """Decode + upload + launch ALL passes of one talk (no waiting)."""
         dataset = FixedSegmentationDatasetNoTarget(
             wav_path, config.inference_segment_length, inference_times
         )
-        sgm_frame_probs = None
-        sgm_frame_logits = None
+        passes = []
         for it in range(inference_times):
             dataset.fixed_length_segmentation(it)
             batches = BatchIterator(
@@ -181,12 +181,26 @@ def segment_wavs(
                 shuffle=False,
                 device_normalize=True,
             )
-            probs, logits, _ = infer_talk(
-                engine, batches, dataset.duration_outframes,
-                need_logits=(tag == "dac_logits"),
+            passes.append(dispatch_talk(engine, batches))
+        return {"wav": wav_path, "dataset": dataset, "passes": passes,
+                "t0": time.perf_counter()}
+
+    yaml_content: list[dict] = []
+    total_audio_secs = 0.0
+    t_all = time.perf_counter()
+
+    def drain_one(h):
+        nonlocal yaml_content, total_audio_secs
+        dataset = h["dataset"]
+        sgm_frame_probs = None
+        sgm_frame_logits = None
+        for pending in h["passes"]:
+            probs, logits, _ = collect_talk(
+                engine, pending, dataset.duration_outframes,
+                need_logits=need_logits,
             )
             if sgm_frame_probs is None:
-                sgm_frame_probs, sgm_frame_logits = probs.copy(), logits.copy()
+                sgm_frame_probs, sgm_frame_logits = probs, logits
             else:
                 sgm_frame_probs += probs
                 sgm_frame_logits += logits
@@ -195,13 +209,32 @@ def segment_wavs(
         segments = run_algorithm(tag, algo_conf, sgm_frame_probs,
                                  sgm_frame_logits, vocab)
         yaml_content = update_yaml_content(
-            yaml_content, segments, Path(wav_path).name
+            yaml_content, segments, Path(h["wav"]).name
         )
         talk_secs = dataset.duration_inframes / 16000
         total_audio_secs += talk_secs
-        dt = time.perf_counter() - t_talk
-        logger.info("%s: %.1fs audio in %.2fs (%.0fx RT)",
-                    Path(wav_path).name, talk_secs, dt, talk_secs / dt)
+        dt = time.perf_counter() - h["t0"]
+        logger.info("%s: %.1fs audio in %.2fs (%.0fx RT, pipelined)",
+                    Path(h["wav"]).name, talk_secs, dt, talk_secs / dt)
+
+    # one-talk lookahead: talk N+1's decode + uploads + forwards are in
+    # flight while talk N's probabilities stream back and its segmentation
+    # algorithm runs on host — the device never idles between talks
+    in_flight = None
+    for wav_path in tqdm(wav_paths, desc="talks"):
+        handle = dispatch_one(wav_path)
+        if in_flight is not None:
+            drain_one(in_flight)
+            if profiling:
+                import jax
+
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("profiler trace of first talk written to %s",
+                            profile_dir)
+        in_flight = handle
+    if in_flight is not None:
+        drain_one(in_flight)
         if profiling:
             import jax
 

@@ -146,6 +146,21 @@ def nan_fill(arr: np.ndarray, duration: int) -> None:
         arr[j] = np.nanmean(arr[lo:hi], axis=0)
 
 
+def dispatch_talk(engine: WindowInference, batches) -> list:
+    """Upload + launch every window batch of one talk WITHOUT waiting.
+
+    Returns the list of (device_probs, device_logits, batch) handles for
+    :func:`collect_talk`.  Splitting dispatch from collection lets callers
+    pipeline across talks: while talk N's results stream back, talk N+1's
+    windows are already uploading and computing (cli/common.segment_wavs
+    keeps one talk in flight ahead of the one being drained)."""
+    pending = []
+    for batch in batches:
+        probs_d, logits_d = engine.run_batch(batch)
+        pending.append((probs_d, logits_d, batch))
+    return pending
+
+
 def infer_talk(
     engine: WindowInference,
     batches,
@@ -162,6 +177,21 @@ def infer_talk(
     neither downloaded nor stitched — talk_logits comes back zero-filled —
     halving the device->host bytes and round-trips per batch.
     """
+    pending = dispatch_talk(engine, batches)
+    return collect_talk(engine, pending, duration_outframes,
+                        collect_targets=collect_targets,
+                        return_loss=return_loss, need_logits=need_logits)
+
+
+def collect_talk(
+    engine: WindowInference,
+    pending: list,
+    duration_outframes: int,
+    collect_targets: bool = False,
+    return_loss: bool = False,
+    need_logits: bool = True,
+):
+    """Download + stitch the handles produced by :func:`dispatch_talk`."""
     vocab_size = getattr(engine.model, "vocab_size", 1)
     need_logits = need_logits or (return_loss and engine.loss_fn is not None)
     talk_probs = np.full(duration_outframes, np.nan)
@@ -170,11 +200,6 @@ def infer_talk(
     else:
         talk_logits = np.full(duration_outframes, np.nan)
     talk_targets = np.zeros(duration_outframes)
-
-    pending = []  # (device probs, device logits, batch) for async dispatch
-    for batch in batches:
-        probs_d, logits_d = engine.run_batch(batch)
-        pending.append((probs_d, logits_d, batch))
 
     all_losses = []
 
