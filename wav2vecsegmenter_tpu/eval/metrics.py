@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 from sklearn.metrics import f1_score, precision_score, recall_score
 
-from ..infer.pipeline import WindowInference, infer_talk
+from ..infer.pipeline import WindowInference, collect_talk, dispatch_talk
 
 
 def evaluate(
@@ -29,20 +29,38 @@ def evaluate(
 
     from tqdm import tqdm
 
-    for talk_id in tqdm(talk_ids, desc="eval talks"):
-        probs = logits = targets = None
+    def dispatch_one(talk_id):
+        """Upload + launch all passes of one talk; duration_outframes is
+        captured NOW (the generator mutates its dataset per talk)."""
+        passes = []
         for iteration in range(inference_times):
             batches = dataloader_generator.generate(talk_id, iteration)
-            p, l, t, loss = infer_talk(
-                engine, batches,
-                dataloader_generator.dataset.duration_outframes,
+            passes.append(dispatch_talk(engine, batches))
+        return passes, dataloader_generator.dataset.duration_outframes
+
+    # one-talk lookahead: talk N+1's windows upload + forward while talk
+    # N's probabilities stream back (same pattern as cli/common.segment_wavs)
+    handles = []
+    talk_iter = iter(tqdm(talk_ids, desc="eval talks"))
+    nxt = next(talk_iter, None)
+    if nxt is not None:
+        handles.append(dispatch_one(nxt))
+    while handles:
+        nxt = next(talk_iter, None)
+        if nxt is not None:
+            handles.append(dispatch_one(nxt))
+        passes, duration_outframes = handles.pop(0)
+        probs = logits = targets = None
+        for pending in passes:
+            p, l, t, loss = collect_talk(
+                engine, pending, duration_outframes,
                 collect_targets=True,
                 return_loss=True,
             )
             if loss is not None:
                 all_losses.append(loss)
             if probs is None:
-                probs, logits, targets = p.copy(), l.copy(), t.copy()
+                probs, logits, targets = p, l, t
             else:
                 probs += p
                 logits += l
