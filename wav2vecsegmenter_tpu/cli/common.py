@@ -217,6 +217,15 @@ def segment_wavs(
         logger.info("%s: %.1fs audio in %.2fs (%.0fx RT, pipelined)",
                     Path(h["wav"]).name, talk_secs, dt, talk_secs / dt)
 
+    def drain_and_maybe_stop_profile(h):
+        nonlocal profiling
+        drain_one(h)
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            logger.info("profiler trace of first talk written to %s",
+                        profile_dir)
+
     # one-talk lookahead: talk N+1's decode + uploads + forwards are in
     # flight while talk N's probabilities stream back and its segmentation
     # algorithm runs on host — the device never idles between talks
@@ -224,24 +233,10 @@ def segment_wavs(
     for wav_path in tqdm(wav_paths, desc="talks"):
         handle = dispatch_one(wav_path)
         if in_flight is not None:
-            drain_one(in_flight)
-            if profiling:
-                import jax
-
-                jax.profiler.stop_trace()
-                profiling = False
-                logger.info("profiler trace of first talk written to %s",
-                            profile_dir)
+            drain_and_maybe_stop_profile(in_flight)
         in_flight = handle
     if in_flight is not None:
-        drain_one(in_flight)
-        if profiling:
-            import jax
-
-            jax.profiler.stop_trace()
-            profiling = False
-            logger.info("profiler trace of first talk written to %s",
-                        profile_dir)
+        drain_and_maybe_stop_profile(in_flight)
     wall = time.perf_counter() - t_all
     if wall > 0 and total_audio_secs:
         logger.info("segmented %.1fs of audio in %.1fs (%.0fx RT overall)",

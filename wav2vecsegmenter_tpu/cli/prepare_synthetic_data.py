@@ -29,7 +29,7 @@ from ..algorithms import pdac_tree, update_tree_yaml_content
 from ..config import load_config
 from ..data.datasets import FixedSegmentationDatasetNoTarget
 from ..data.loader import BatchIterator
-from ..infer.pipeline import WindowInference, infer_talk
+from ..infer.pipeline import WindowInference
 from ..stpipe.generation import format_generation_output
 from ..stpipe.manifest import prepare_custom_dataset
 from ..stpipe.mwer import run_mwer_segmenter
@@ -59,22 +59,41 @@ def generate_segmentation_tree(args) -> None:
     engine = WindowInference(model, params, loss_tag="bce",
                              compute_dtype=compute_dtype)
 
-    yaml_content: list[dict] = []
-    (save_dir / "tree.length").write_text("")
-    for wav_path in sorted(Path(args.path_to_wavs).glob("*.wav")):
+    from ..infer.pipeline import collect_talk, dispatch_talk
+
+    def dispatch_one(wav_path):
+        """Upload + launch all passes of one talk (no waiting) — the same
+        one-talk lookahead as cli/common.segment_wavs."""
         dataset = FixedSegmentationDatasetNoTarget(
             wav_path, args.inference_segment_length, args.inference_times
         )
-        sgm_frame_probs = None
+        passes = []
         for it in range(args.inference_times):
             dataset.fixed_length_segmentation(it)
             batches = BatchIterator(
                 dataset, args.inference_batch_size,
                 float(args.inference_segment_length), shuffle=False,
             )
-            probs, _, _ = infer_talk(engine, batches,
-                                     dataset.duration_outframes,
-                                     need_logits=False)
+            passes.append(dispatch_talk(engine, batches))
+        return wav_path, dataset, passes
+
+    yaml_content: list[dict] = []
+    (save_dir / "tree.length").write_text("")
+    handles = []
+    wav_iter = iter(sorted(Path(args.path_to_wavs).glob("*.wav")))
+    nxt = next(wav_iter, None)
+    if nxt is not None:
+        handles.append(dispatch_one(nxt))
+    while handles:
+        nxt = next(wav_iter, None)
+        if nxt is not None:
+            handles.append(dispatch_one(nxt))
+        wav_path, dataset, passes = handles.pop(0)
+        sgm_frame_probs = None
+        for pending in passes:
+            probs, _, _ = collect_talk(engine, pending,
+                                       dataset.duration_outframes,
+                                       need_logits=False)
             sgm_frame_probs = probs if sgm_frame_probs is None else \
                 sgm_frame_probs + probs
         sgm_frame_probs /= args.inference_times
