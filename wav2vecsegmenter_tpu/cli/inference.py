@@ -67,8 +67,19 @@ def main(argv: list[str] | None = None) -> list[dict]:
     out_dir.mkdir(parents=True, exist_ok=True)
     init_logging(config, str(out_dir / "log"))
 
+    # run config + results to wandb (reference inference.py:171-186)
+    from ..core.wandblog import init_wandb
+
+    run = init_wandb(
+        config, out_dir,
+        name="/".join([str(config.get("exp_name", "infer")), out_dir.name]),
+    )
+
     yaml_content = generate(config)
     logger.info("n_segments: %d", len(yaml_content))
+    if run is not None:
+        run.log({"n_segments": len(yaml_content)}, step=0)
+        run.finish()
     with open(out_dir / config.cust_seg_yaml, "w") as f:
         yaml.dump(yaml_content, f, default_flow_style=True)
     return yaml_content

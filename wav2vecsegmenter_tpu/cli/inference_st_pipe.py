@@ -26,10 +26,22 @@ def main(argv: list[str] | None = None) -> dict:
     results_path.mkdir(parents=True, exist_ok=True)
     init_logging(config, str(results_path / "log"))
 
+    # sweep-analysis wandb artifacts (reference inference_st_pipe.py:69-78,
+    # 162-213): run named exp/<override-dirname>, metric result tables
+    from ..core.wandblog import init_wandb, st_results_tables
+
+    wandb_name = "/".join(
+        [str(config.get("exp_name", "st_pipe")), results_path.name])
+    run = init_wandb(config, results_path, name=wandb_name)
+
     yaml_content = generate(config)
     algorithm = config.algorithm.tag
     results = eval_st(config, yaml_content, results_path, algorithm)
     logger.info("ST results: %s", results)
+    if run is not None:
+        st_results_tables(run, wandb_name, results, algorithm,
+                          extra={"n_segments": len(yaml_content)})
+        run.finish()
     return results
 
 

@@ -143,21 +143,9 @@ def _run_st_eval(config, model, params, vocab, compute_dtype, results_path,
 def _init_wandb(config, results_path):
     """Optional wandb run (reference train.py:224-232); silently disabled
     when wandb is not installed."""
-    if not config.get("log_wandb"):
-        return None
-    try:
-        import wandb
-    except ImportError:
-        logger.warning("log_wandb=True but wandb is not installed; disabled")
-        return None
-    return wandb.init(
-        project=config.get("project_name", "w2v_segment"),
-        config=to_plain(config),
-        name=config.get("exp_name"),
-        notes=config.get("notes"),
-        group=config.get("group"),
-        dir=str(results_path),
-    )
+    from ..core.wandblog import init_wandb
+
+    return init_wandb(config, results_path)
 
 
 def train(config: Config, work_dir: str | Path | None = None) -> dict:
@@ -258,9 +246,18 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
     )
     state = init_train_state(model, optimizer, rng, params)
 
-    # resume support (beyond the reference)
+    # resume support (beyond the reference): restores params+opt+step AND
+    # the checkpoint bookkeeping (rotation list, best score/dir, global
+    # step) so rotation and best-ckpt selection continue where they left
+    # off — without this, pre-crash ckpts never rotate out and a worse
+    # post-resume eval creates a second stale *_best dir
     resume_dir = results_path / "last_state"
     start_epoch = 0
+    resume_global_step = 0
+    best_metric = config.get("best_ckpt_metric", "eval_f1")
+    ckpt_list: list[Path] = []
+    best_score = 0.0
+    best_checkpoint: Path | None = None
     if config.get("resume") and resume_dir.exists():
         template = jax.eval_shape(lambda: state)
         state = restore_orbax(resume_dir, template=template)
@@ -268,12 +265,22 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
             __import__("yaml").safe_load(open(resume_dir / "meta.yaml"))
         ) if (resume_dir / "meta.yaml").exists() else {}
         start_epoch = int(meta.get("epoch", 0))
-        logger.info("Resumed from %s at epoch %d", resume_dir, start_epoch)
-
-    ckpt_list: list[Path] = []
-    best_metric = config.get("best_ckpt_metric", "eval_f1")
-    best_score = 0.0
-    best_checkpoint: Path | None = None
+        resume_global_step = int(meta.get("global_step", 0))
+        ckpt_list = [
+            checkpoints_path / name
+            for name in meta.get("ckpt_list", [])
+            if (checkpoints_path / name).exists()
+        ]
+        best_score = float(meta.get("best_score", 0.0))
+        if meta.get("best_checkpoint"):
+            cand = checkpoints_path / meta["best_checkpoint"]
+            best_checkpoint = cand if cand.exists() else None
+        logger.info(
+            "Resumed from %s at epoch %d (global_step=%d, %d rotating "
+            "ckpts, best_%s=%.4f)",
+            resume_dir, start_epoch, resume_global_step, len(ckpt_list),
+            best_metric, best_score,
+        )
 
     def save_ckpt(name: str, results: dict | None):
         nonlocal best_score, best_checkpoint
@@ -304,7 +311,7 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
         compute_dtype=compute_dtype, vocab=vocab,
     )
 
-    global_step = 0
+    global_step = resume_global_step
     results: dict = {}
     profile_steps = int(rt.get("profile_steps", 0) or 0)
 
@@ -327,6 +334,15 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
         if loss_tag == "bce" and pos_pct is not None:
             logger.info("pos_class_percentage = %s", pos_pct)
 
+        # pos_weight changes with each epoch's regenerated dataset
+        # (reference train.py:352-374); the jitted step is built ONCE, so it
+        # takes pos_weight as a scalar operand rather than a closure value
+        dynamic_pos_weight = loss_tag == "bce"
+        pos_weight_arr = np.asarray(
+            getattr(loss_fn, "pos_weight", None)
+            if getattr(loss_fn, "pos_weight", None) is not None else 1.0,
+            np.float32,
+        ) if dynamic_pos_weight else None
         if loss_tag == "bce":
             engine.loss_fn = loss_fn
         if train_step is None:
@@ -335,6 +351,7 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                 compute_dtype=compute_dtype, vocab=vocab, mesh=mesh,
                 autoregression=autoregression,
                 device_normalize=device_normalize,
+                dynamic_pos_weight=dynamic_pos_weight,
             )
             multi_step = None
             if steps_per_call > 1:
@@ -345,10 +362,12 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                     steps_per_call, compute_dtype=compute_dtype, vocab=vocab,
                     mesh=mesh, autoregression=autoregression,
                     device_normalize=device_normalize,
+                    dynamic_pos_weight=dynamic_pos_weight,
                 )
 
         steps_in_epoch = len(train_loader)
         all_losses, all_preds, all_targets = [], [], []
+        all_gnorms: list[float] = []
         t_start = time.time()
         step = 0
 
@@ -375,11 +394,15 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                 all_targets.extend(tgt[spe].astype(float).tolist())
 
         def after_steps():
-            nonlocal all_losses, all_preds, all_targets, results
+            nonlocal all_losses, all_preds, all_targets, all_gnorms, results
             if (step % int(config.print_every_steps) < pending_flushed) or (
                 step == steps_in_epoch
             ):
                 m = train_step_metrics(all_targets, all_preds, all_losses)
+                # gradient-norm telemetry: the wandb.watch(model, log="all")
+                # equivalent (reference train.py:317-318)
+                if all_gnorms:
+                    m["grad_norm"] = float(np.mean(all_gnorms))
                 sps = step / (time.time() - t_start)
                 logger.info(
                     "Step %d/%d loss=%.4f acc=%.4f f1=%.4f p=%.4f r=%.4f "
@@ -390,6 +413,7 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                 if wandb_run is not None:
                     wandb_run.log({"epoch": epoch, **m}, step=global_step)
                 all_losses, all_preds, all_targets = [], [], []
+                all_gnorms = []
             if int(config.save_every_steps) and (
                 global_step % int(config.save_every_steps) < pending_flushed
             ):
@@ -408,10 +432,13 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
             step += 1
             global_step += 1
             dev_batch = _batch_to_device(batch, mesh)
+            if pos_weight_arr is not None:
+                dev_batch["pos_weight"] = pos_weight_arr
             rng_l, sub = jax.random.split(rng)
             rng = rng_l
             new_state, metrics = train_step(state, dev_batch, sub)
             state = new_state
+            all_gnorms.append(float(metrics["grad_norm"]))
             accumulate_metrics(batch, metrics["loss"], metrics["logits"])
 
         def run_multi(group):
@@ -419,10 +446,13 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
             step += len(group)
             global_step += len(group)
             stacked = _stack_batches_to_device(group, mesh)
+            if pos_weight_arr is not None:
+                stacked["pos_weight"] = pos_weight_arr
             rng_l, sub = jax.random.split(rng)
             rng = rng_l
             new_state, metrics = multi_step(state, stacked, sub)
             state = new_state
+            all_gnorms.extend(np.asarray(metrics["grad_norm"]).tolist())
             losses = np.asarray(metrics["loss"])
             logits = np.asarray(metrics["logits"])
             for i, b in enumerate(group):
@@ -497,8 +527,15 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
             import yaml as _yaml
 
             with open(resume_dir / "meta.yaml", "w") as f:
-                _yaml.safe_dump({"epoch": epoch + 1,
-                                 "global_step": global_step}, f)
+                _yaml.safe_dump({
+                    "epoch": epoch + 1,
+                    "global_step": global_step,
+                    "ckpt_list": [p.name for p in ckpt_list],
+                    "best_score": float(best_score),
+                    "best_checkpoint": (
+                        best_checkpoint.name if best_checkpoint else None
+                    ),
+                }, f)
 
     if wandb_run is not None:
         wandb_run.finish()

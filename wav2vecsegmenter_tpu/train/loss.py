@@ -25,6 +25,14 @@ class BCEWithLogitsLoss:
         self.pos_weight = pos_weight
         self.reduction = reduction
 
+    def with_pos_weight(self, pos_weight):
+        """Copy with pos_weight replaced — accepts a traced scalar so the
+        jitted train step can take pos_weight as an operand (the reference
+        re-derives it from each epoch's regenerated dataset,
+        train.py:352-374; a closure-captured value would freeze at epoch 0
+        inside jit)."""
+        return BCEWithLogitsLoss(pos_weight, self.reduction)
+
     def __call__(self, logits, targets):
         x, z = logits, targets
         pw = 1.0 if self.pos_weight is None else self.pos_weight
@@ -42,6 +50,10 @@ class FocalLoss:
         self.pos_weight = 0.5 if pos_weight is None else pos_weight
         self.gamma = gamma
         self.reduction = reduction
+
+    def with_pos_weight(self, pos_weight):
+        """Copy with pos_weight replaced (see BCEWithLogitsLoss)."""
+        return FocalLoss(pos_weight, self.gamma, self.reduction)
 
     def __call__(self, logits, targets):
         bce = BCEWithLogitsLoss(None, "none")(logits, targets)

@@ -90,8 +90,15 @@ def compute_bce_loss(logits, target, out_mask, loss_fn, ma_window_steps: int):
 def make_train_step(model, loss_fn, loss_tag: str, ma_window_steps: int,
                     optimizer, compute_dtype=jnp.float32, vocab=None,
                     mesh=None, autoregression: bool = False,
-                    device_normalize: bool = False):
-    """Returns jitted (state, batch_dict, rng) -> (state, metrics)."""
+                    device_normalize: bool = False,
+                    dynamic_pos_weight: bool = False):
+    """Returns jitted (state, batch_dict, rng) -> (state, metrics).
+
+    With ``dynamic_pos_weight`` the batch dict carries a ``pos_weight``
+    scalar operand and the BCE loss is rebuilt per call from it — the
+    reference re-derives pos_weight from each epoch's regenerated random
+    dataset (train.py:352-374); baking it into the jit closure would freeze
+    the epoch-0 value for the whole run."""
 
     def normalize_audio(batch):
         # raw int16 upload + reference-exact normalization on device
@@ -128,8 +135,10 @@ def make_train_step(model, loss_fn, loss_tag: str, ma_window_steps: int,
             deterministic=False, rng=rng, compute_dtype=compute_dtype,
         )
         if loss_tag == "bce":
+            lf = loss_fn.with_pos_weight(batch["pos_weight"]) \
+                if dynamic_pos_weight else loss_fn
             loss = compute_bce_loss(
-                logits, batch["target"], batch["out_mask"], loss_fn,
+                logits, batch["target"], batch["out_mask"], lf,
                 ma_window_steps,
             )
         elif loss_tag == "ssl":
@@ -163,7 +172,10 @@ def make_train_step(model, loss_fn, loss_tag: str, ma_window_steps: int,
         )
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.step + 1)
-        metrics = {"loss": loss, "logits": logits}
+        # global gradient norm: the observability the reference gets from
+        # wandb.watch(model, log="all") (train.py:317-318)
+        metrics = {"loss": loss, "logits": logits,
+                   "grad_norm": optax.global_norm(grads)}
         return new_state, metrics
 
     if mesh is not None:
@@ -176,6 +188,8 @@ def make_train_step(model, loss_fn, loss_tag: str, ma_window_steps: int,
         }
         if device_normalize and not autoregression:
             batch_shardings.update({"norm_length": rep, "included": data_sh})
+        if dynamic_pos_weight:
+            batch_shardings["pos_weight"] = rep
         if autoregression:
             batch_shardings = {
                 "audio": data_sh, "in_lengths": data_sh, "in_target": data_sh,
@@ -185,7 +199,8 @@ def make_train_step(model, loss_fn, loss_tag: str, ma_window_steps: int,
         return jax.jit(
             step_fn,
             in_shardings=(state_sh, batch_shardings, rep),
-            out_shardings=(state_sh, {"loss": rep, "logits": data_sh}),
+            out_shardings=(state_sh, {"loss": rep, "logits": data_sh,
+                                      "grad_norm": rep}),
             donate_argnums=(0,),
         )
     return jax.jit(step_fn, donate_argnums=(0,))
@@ -194,7 +209,8 @@ def make_train_step(model, loss_fn, loss_tag: str, ma_window_steps: int,
 def make_train_multistep(model, loss_fn, loss_tag: str, ma_window_steps: int,
                          optimizer, n_steps: int, compute_dtype=jnp.float32,
                          vocab=None, mesh=None, autoregression: bool = False,
-                         device_normalize: bool = False):
+                         device_normalize: bool = False,
+                         dynamic_pos_weight: bool = False):
     """K train steps inside one jit via lax.scan.
 
     Amortizes per-call overhead (dispatch, and on remote-execution runtimes
@@ -206,20 +222,29 @@ def make_train_multistep(model, loss_fn, loss_tag: str, ma_window_steps: int,
         model, loss_fn, loss_tag, ma_window_steps, optimizer,
         compute_dtype=compute_dtype, vocab=vocab, mesh=None,
         autoregression=autoregression, device_normalize=device_normalize,
+        dynamic_pos_weight=dynamic_pos_weight,
     )
     # reuse the un-jitted step body by rebuilding it here (make_train_step
     # returns a jit; jit-of-scan-of-jit is fine — inner jit inlines)
 
     def multi_fn(state: TrainState, batches: dict, rng) -> tuple:
         keys = jax.random.split(rng, n_steps)
+        # pos_weight is a per-epoch scalar, shared by all K micro-steps —
+        # keep it out of the scanned xs (whose leaves need a leading K axis)
+        pos_weight = batches.get("pos_weight")
+        scanned = {k: v for k, v in batches.items() if k != "pos_weight"}
 
         def body(carry, xs):
             batch, key = xs
+            if pos_weight is not None:
+                batch = {**batch, "pos_weight": pos_weight}
             new_state, metrics = single(carry, batch, key)
-            return new_state, (metrics["loss"], metrics["logits"])
+            return new_state, (metrics["loss"], metrics["logits"],
+                               metrics["grad_norm"])
 
-        state, (losses, logits) = jax.lax.scan(body, state, (batches, keys))
-        return state, {"loss": losses, "logits": logits}
+        state, (losses, logits, gnorms) = jax.lax.scan(
+            body, state, (scanned, keys))
+        return state, {"loss": losses, "logits": logits, "grad_norm": gnorms}
 
     if mesh is not None:
         # batches are [K, B, ...]: shard the batch dim, replicate K; leave
@@ -234,7 +259,8 @@ def make_train_multistep(model, loss_fn, loss_tag: str, ma_window_steps: int,
         return jax.jit(
             multi_fn,
             in_shardings=(state_sh, None, rep),
-            out_shardings=(state_sh, {"loss": rep, "logits": logits_sh}),
+            out_shardings=(state_sh, {"loss": rep, "logits": logits_sh,
+                                      "grad_norm": rep}),
             donate_argnums=(0,),
         )
     return jax.jit(multi_fn, donate_argnums=(0,))
