@@ -99,7 +99,15 @@ def _make_batch(rng, b=4, L=32000, t_out=100):
 
 
 def test_train_step_decreases_loss(rng):
+    import dataclasses
+
+    from .helpers import TINY_W2V
+
     model = tiny_shas()
+    # this test checks optimizer mechanics; the HF-exact SpecAugment
+    # (min_masks=2 -> ~40% of a 49-frame toy window masked per step) makes
+    # an 8-step loss decrease too noisy to assert, so disable it here
+    model.w2v_cfg = dataclasses.replace(TINY_W2V, apply_spec_augment=False)
     params = model.init(jax.random.PRNGKey(0))
     mask = model.trainable_mask(params)
     opt = make_optimizer(1e-3, 100, 1, mask)

@@ -67,6 +67,7 @@ class Wav2Vec2Config:
     apply_spec_augment: bool = True
     mask_time_prob: float = 0.05
     mask_time_length: int = 10
+    mask_time_min_masks: int = 2
 
     @property
     def head_dim(self) -> int:
@@ -211,14 +212,38 @@ def init_wav2vec2_params(rng: jax.Array, cfg: Wav2Vec2Config) -> dict:
 
 
 def sample_time_mask(rng: jax.Array, b: int, t: int, prob: float,
-                     length: int) -> jax.Array:
-    """SpecAugment time-mask sampling: ~prob*t/length spans of ``length``
-    frames per row (matching HF _compute_mask_indices statistics)."""
-    k = max(1, int(prob * t / length))
-    starts = jax.random.randint(rng, (b, k), 0, max(1, t - length))
-    span = starts[:, :, None] + jnp.arange(length)[None, None, :]
-    onehot = jax.nn.one_hot(span.reshape(b, -1), t, dtype=jnp.float32)
-    return onehot.sum(axis=1) > 0  # [b, t] bool
+                     length: int, frame_lengths: jax.Array | None = None,
+                     min_masks: int = 2) -> jax.Array:
+    """SpecAugment time-mask sampling, HF ``_compute_mask_indices``-exact
+    (transformers modeling_wav2vec2): per call a single probabilistic-
+    rounding epsilon; per row ``num = max(int(prob*len/length + eps),
+    min_masks)`` clamped to ``t // length`` and to the candidate-start count
+    ``len - length + 1``; starts drawn uniformly WITHOUT replacement from
+    the valid range so spans lie strictly inside the row's true length.
+
+    The without-replacement draw uses random-key ranking (argsort of i.i.d.
+    uniforms = uniform permutation), the standard XLA-friendly construction
+    — identical in distribution to np.random.choice(replace=False).
+    Statistics verified against HF on 1k draws (tests/test_ops.py)."""
+    k_eps, k_draw = jax.random.split(rng)
+    eps = jax.random.uniform(k_eps, ())
+    valid = (frame_lengths.astype(jnp.int32) if frame_lengths is not None
+             else jnp.full((b,), t, jnp.int32))
+    n_starts = jnp.maximum(valid - (length - 1), 0)
+    num = jnp.floor(
+        prob * valid.astype(jnp.float32) / length + eps).astype(jnp.int32)
+    num = jnp.maximum(num, min_masks)
+    num = jnp.where(num * length > t, t // length, num)
+    num = jnp.minimum(num, n_starts)
+    k_max = max(1, t // length)  # static span-count bound after the clamp
+    keys = jax.random.uniform(k_draw, (b, t))
+    keys = jnp.where(jnp.arange(t)[None, :] < n_starts[:, None], keys, jnp.inf)
+    starts = jnp.argsort(keys, axis=-1)[:, :k_max]          # [b, k_max]
+    active = jnp.arange(k_max)[None, :] < num[:, None]
+    tt = jnp.arange(t)[None, None, :]
+    s = starts[:, :, None]
+    cover = (tt >= s) & (tt < s + length) & active[:, :, None]
+    return cover.any(axis=1)  # [b, t] bool
 
 
 # --------------------------------------------------------------------------
@@ -573,7 +598,8 @@ def wav2vec2_forward(
             and cfg.mask_time_prob > 0 and "masked_spec_embed" in params):
         rng, sub = jax.random.split(rng)
         tmask = sample_time_mask(sub, x.shape[0], t, cfg.mask_time_prob,
-                                 cfg.mask_time_length)
+                                 cfg.mask_time_length, frame_lengths=fl,
+                                 min_masks=cfg.mask_time_min_masks)
         tmask = tmask & frame_mask
         x = jnp.where(tmask[:, :, None],
                       params["masked_spec_embed"].astype(x.dtype), x)
