@@ -89,3 +89,66 @@ def test_autoreg_train_step_runs(rng):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_greedy_decode_matches_teacher_forced_forward(rng):
+    """KV-cached greedy decode == full causal forward fed the decoded
+    tokens: per-position logits must agree (same math, different caching)."""
+    vocab = BaseVocabulary()
+    model = tiny_autoreg()
+    params = model.init(jax.random.PRNGKey(0))
+
+    b, L, t_out = 2, 16000, 30
+    audio = rng.randn(b, L).astype(np.float32)
+    in_lengths = np.array([L, L - 4000], np.int32)
+
+    probs, logits, tokens = model.greedy_decode(
+        params, jnp.asarray(audio), jnp.asarray(in_lengths), t_out)
+    probs, logits, tokens = map(np.asarray, (probs, logits, tokens))
+    assert probs.shape == (b, t_out)
+    assert logits.shape == (b, t_out, 4)
+    assert tokens.shape == (b, t_out)
+    assert ((probs >= 0) & (probs <= 1)).all()
+    assert np.isin(tokens, [vocab.boundary_token_id,
+                            vocab.nonboundary_token_id]).all()
+    # greedy consistency: token == argmax over the {B, NB} logit pair
+    pair = logits[:, :, [vocab.boundary_token_id, vocab.nonboundary_token_id]]
+    np.testing.assert_array_equal(tokens, pair.argmax(-1).astype(tokens.dtype))
+
+    # full teacher-forced forward on the decoded prefix
+    in_target = np.concatenate(
+        [np.full((b, 1), vocab.sep_token_id, np.int32), tokens[:, :-1]], 1)
+    tf_logits = np.asarray(model.apply(
+        params, jnp.asarray(audio), jnp.asarray(in_lengths),
+        jnp.asarray(in_target),
+        jnp.ones((b, t_out), bool), jnp.ones((b, t_out), bool)))
+    np.testing.assert_allclose(logits, tf_logits, atol=2e-4, rtol=1e-4)
+
+
+def test_autoreg_window_inference_pipeline(rng):
+    """The product inference path dispatches to greedy_decode for the arseg
+    task and stitches talk probabilities (closes the reference's
+    NotImplementedError at lib/evaluate.py:50)."""
+    from wav2vecsegmenter_tpu.data.collate import Batch
+    from wav2vecsegmenter_tpu.infer.pipeline import WindowInference, infer_talk
+
+    model = tiny_autoreg()
+    params = model.init(jax.random.PRNGKey(0))
+    engine = WindowInference(model, params, loss_tag="ce")
+
+    b, L, t_out = 2, 16000, 50
+    batch = Batch(
+        audio=rng.randn(b, L).astype(np.float32),
+        in_lengths=np.full(b, L, np.int32),
+        out_mask=np.ones((b, t_out), bool),
+        target=None,
+        starts=np.arange(b) * t_out,
+        ends=(np.arange(b) + 1) * t_out,
+        included=np.ones(b, bool),
+    )
+    talk_probs, talk_logits, _ = infer_talk(
+        engine, [batch], duration_outframes=2 * t_out)
+    assert talk_probs.shape == (2 * t_out,)
+    assert np.isfinite(talk_probs).all()
+    assert ((talk_probs >= 0) & (talk_probs <= 1)).all()
+    assert talk_logits.shape == (2 * t_out, 4)

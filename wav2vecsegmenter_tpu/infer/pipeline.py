@@ -62,6 +62,17 @@ class WindowInference:
                 std = jnp.sqrt(var)
                 xn = jnp.where(std > 0, dev / jnp.maximum(std, 1e-12), 0.0)
                 audio = jnp.where(included[:, None], xn, 0.0)
+            if hasattr(model, "greedy_decode"):
+                # autoregressive segmenter: KV-cached greedy decode (the
+                # reference's inference path is NotImplementedError,
+                # lib/evaluate.py:50); probs already p(in-segment)
+                probs, logits, _ = model.greedy_decode(
+                    params, audio, in_lengths, out_mask.shape[1],
+                    compute_dtype=compute_dtype,
+                )
+                probs = jnp.where(out_mask, probs, 0.0)
+                logits_out = jnp.where(out_mask[..., None], logits, 0.0)
+                return probs, logits_out
             logits = model.apply(
                 params, audio, in_lengths, out_mask,
                 deterministic=True, compute_dtype=compute_dtype,

@@ -172,6 +172,128 @@ class AutoRegSegmenterImpl:
             seg["out"]["b"].astype(compute_dtype)
         return logits.astype(jnp.float32)
 
+    def _encode(self, params, audio, in_lengths, compute_dtype):
+        """Shared encoder path: wav2vec2 -> 1-layer transformer -> shared LN
+        (the memory the decoder cross-attends to)."""
+        h, frame_mask = wav2vec2_forward(
+            params["wav2vec"], audio, in_lengths, self.w2v_cfg,
+            deterministic=True, compute_dtype=compute_dtype,
+        )
+        seg = params["seg"]
+        x = h.astype(compute_dtype)
+
+        def enc_body(carry, layer):
+            hh = carry
+            hn = layer_norm(hh, layer["ln1"]["scale"], layer["ln1"]["bias"], _EPS)
+            hh = hh + _attn_block(layer["attn"], hn, hn, self.n_enc_heads,
+                                  frame_mask, compute_dtype=compute_dtype)
+            hn = layer_norm(hh, layer["ln2"]["scale"], layer["ln2"]["bias"], _EPS)
+            hh = hh + _ffn_block(layer["ffn"], hn, compute_dtype)
+            return hh, None
+
+        x, _ = jax.lax.scan(enc_body, x, seg["encoder"])
+        memory = layer_norm(x, seg["shared_ln"]["scale"],
+                            seg["shared_ln"]["bias"], _EPS)
+        return memory, frame_mask
+
+    def greedy_decode(self, params, audio, in_lengths, t_out: int, *,
+                      compute_dtype=jnp.float32,
+                      boundary_id: int = 0, nonboundary_id: int = 1,
+                      sep_id: int = 3):
+        """Greedy frame-token decode — the inference path the reference
+        leaves as ``NotImplementedError`` (lib/evaluate.py:50).
+
+        One token per output frame, teacher-forcing layout from training
+        (SEP-led input, data/collate.py:collate_autoreg): step i feeds the
+        token decoded at i-1 (SEP at i=0) and predicts frame i.  Decoding is
+        KV-cached — the encoder memory and each decoder layer's cross K/V
+        are computed once; a lax.scan over frame positions carries per-layer
+        self-attention caches, so the cost is O(T) single-token decoder
+        steps, not O(T^2) full re-runs.  Tokens are constrained to the
+        frame alphabet {<B>, <NB>} (argmax over those two logits).
+
+        Returns (probs [B, t_out], logits [B, t_out, V], tokens [B, t_out]):
+        ``probs`` is p(<NB>)/(p(<B>)+p(<NB>)) — the probability the frame is
+        inside a speech segment, matching the BCE path's prob semantics so
+        pdac/pthr/strm consume it unchanged (the collate maps frame target
+        1 -> <NB>, 0 -> <B>)."""
+        memory, frame_mask = self._encode(params, audio, in_lengths,
+                                          compute_dtype)
+        seg = params["seg"]
+        b = memory.shape[0]
+        d, h = self.d_model, self.n_dec_heads
+        dh = d // h
+
+        def proj(pp, xx):
+            return xx @ pp["w"].astype(compute_dtype) + \
+                pp["b"].astype(compute_dtype)
+
+        # cross-attention K/V once per layer: [L, B, H, T_mem, dh]
+        def cross_kv(layer):
+            k = proj(layer["cross_attn"]["k"], memory)
+            v = proj(layer["cross_attn"]["v"], memory)
+            rs = lambda z: z.reshape(b, -1, h, dh).transpose(0, 2, 1, 3)
+            return rs(k), rs(v)
+
+        k_cross, v_cross = jax.vmap(cross_kv, in_axes=(0,))(seg["decoder"])
+
+        n_layers = self.n_dec_layers
+        k_cache = jnp.zeros((n_layers, b, h, t_out, dh), compute_dtype)
+        v_cache = jnp.zeros_like(k_cache)
+        tok0 = jnp.full((b,), sep_id, jnp.int32)
+
+        def step(carry, i):
+            tok, kc, vc = carry
+            y = (seg["tok_emb"][tok] * math.sqrt(d)).astype(compute_dtype)
+
+            def layer_body(yy, xs):
+                layer, kx, vx, kc_l, vc_l = xs
+                yn = layer_norm(yy, layer["ln1"]["scale"],
+                                layer["ln1"]["bias"], _EPS)
+                q = proj(layer["self_attn"]["q"], yn).reshape(b, h, dh)
+                kk = proj(layer["self_attn"]["k"], yn).reshape(b, h, dh)
+                vv = proj(layer["self_attn"]["v"], yn).reshape(b, h, dh)
+                kc_l = jax.lax.dynamic_update_index_in_dim(kc_l, kk, i, 2)
+                vc_l = jax.lax.dynamic_update_index_in_dim(vc_l, vv, i, 2)
+                scores = jnp.einsum("bhd,bhkd->bhk", q * dh ** -0.5, kc_l)
+                pos_ok = jnp.arange(t_out)[None, None, :] <= i
+                scores = jnp.where(pos_ok, scores, -1e30)
+                att = jnp.einsum(
+                    "bhk,bhkd->bhd", jax.nn.softmax(scores, -1), vc_l)
+                yy = yy + proj(layer["self_attn"]["o"],
+                               att.reshape(b, d))
+                yn = layer_norm(yy, layer["ln2"]["scale"],
+                                layer["ln2"]["bias"], _EPS)
+                q = proj(layer["cross_attn"]["q"], yn).reshape(b, h, dh)
+                cs = jnp.einsum("bhd,bhkd->bhk", q * dh ** -0.5, kx)
+                cs = jnp.where(frame_mask[:, None, :], cs, -1e30)
+                catt = jnp.einsum("bhk,bhkd->bhd", jax.nn.softmax(cs, -1), vx)
+                yy = yy + proj(layer["cross_attn"]["o"], catt.reshape(b, d))
+                yn = layer_norm(yy, layer["ln3"]["scale"],
+                                layer["ln3"]["bias"], _EPS)
+                yy = yy + _ffn_block(layer["ffn"], yn, compute_dtype)
+                return yy, (kc_l, vc_l)
+
+            y, (kc, vc) = jax.lax.scan(
+                layer_body, y, (seg["decoder"], k_cross, v_cross, kc, vc))
+            y = layer_norm(y, seg["shared_ln"]["scale"],
+                           seg["shared_ln"]["bias"], _EPS)
+            logits = (y @ seg["out"]["w"].astype(compute_dtype) +
+                      seg["out"]["b"].astype(compute_dtype)).astype(jnp.float32)
+            frame_pair = jnp.stack(
+                [logits[:, boundary_id], logits[:, nonboundary_id]], -1)
+            next_tok = jnp.where(
+                jnp.argmax(frame_pair, -1) == 1, nonboundary_id, boundary_id
+            ).astype(jnp.int32)
+            p = jax.nn.softmax(frame_pair, axis=-1)[:, 1]
+            return (next_tok, kc, vc), (p, logits, next_tok)
+
+        _, (probs, logits, tokens) = jax.lax.scan(
+            step, (tok0, k_cache, v_cache), jnp.arange(t_out))
+        # scan stacks along axis 0 (time) -> [B, T, ...]
+        return (probs.transpose(1, 0), logits.transpose(1, 0, 2),
+                tokens.transpose(1, 0))
+
     def trainable_mask(self, params):
         flag = 1.0 if self.finetune_wav2vec else 0.0
         return {
