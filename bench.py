@@ -10,11 +10,19 @@ BASELINE.json north-star: >=50x real time per v5e chip on the large+all
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Modes (env BENCH_MODE):
-  * default / "infer": the headline segmentation-xRT benchmark above.
+  * default / "infer": the headline segmentation-xRT benchmark, measured on
+    the PRODUCT sweep path (cli/common.segment_wavs): 3 talks x
+    inference_times=2, talk lengths chosen to compile+exercise BOTH static
+    shape buckets (std 20 s and tail 22 s windows), multi-pass averaging,
+    and the one-talk-lookahead pipelining — not a single-talk best case
+    (VERDICT r2 weak #4).  BENCH_PACK=1 additionally enables
+    runtime.pack_across_talks.
   * "train": fine-tune step time at the BASELINE lna_l24_ft24 config
     (finetune_wav2vec=True, 24 ft layers, batch_size=4, 20 s windows,
     K=steps_per_call jit calls).  value = s/step; vs_baseline is relative
     to the 3.4 s/step measured on this rig in round 1 (>1 is faster).
+    The driver records the default mode; BENCH_TRAIN_r{N}.json artifacts
+    are committed from TPU runs of this mode each round.
 
 W2VSEG_BENCH_CKPT=<.pt or orbax dir> benches through the production
 checkpoint-load path instead of random weights.
@@ -143,11 +151,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from wav2vecsegmenter_tpu.algorithms import pdac, update_yaml_content
+    from wav2vecsegmenter_tpu.cli.common import segment_wavs
+    from wav2vecsegmenter_tpu.config import Config
     from wav2vecsegmenter_tpu.data.audio import write_wav
-    from wav2vecsegmenter_tpu.data.datasets import FixedSegmentationDatasetNoTarget
-    from wav2vecsegmenter_tpu.data.loader import BatchIterator
-    from wav2vecsegmenter_tpu.infer.pipeline import WindowInference, infer_talk
+    from wav2vecsegmenter_tpu.infer.pipeline import WindowInference
     from wav2vecsegmenter_tpu.models.shas import SHAS
 
     on_tpu = jax.default_backend() == "tpu"
@@ -156,11 +163,18 @@ def main() -> None:
     # large+all architecture (24/24 layers) — the BASELINE headline config.
     # Random weights: throughput is weight-independent.
     keep_layers = 24 if on_tpu else 2
-    talk_secs = float(os.environ.get("BENCH_TALK_SECS", 600 if on_tpu else 60))
-    # batch 10: 600 s / 20 s windows = 3 full batches in ONE shape bucket,
-    # and the 3-deep pipeline hides uploads under compute (measured 1110x
-    # vs 869x at batch 16, whose first-batch upload is exposed)
+    # 3 talks: #1 tail-merged last window (621.5 = 30x20s + 1.5s merged ->
+    # one 21.5 s window in the TAIL bucket), #2 a short free-standing last
+    # window (std bucket), #3 plain full windows.  Scaled down off-TPU.
+    if on_tpu:
+        talk_specs = [621.5, 487.9, 300.0]
+    else:
+        talk_specs = [41.5, 27.9, 20.0]
+    # batch 10: full batches in one shape bucket and the 3-deep pipeline
+    # hides uploads under compute (measured 1110x vs 869x at batch 16,
+    # whose first-batch upload is exposed)
     batch_size = int(os.environ.get("BENCH_BATCH", 10))
+    inference_times = int(os.environ.get("BENCH_PASSES_PER_TALK", 2))
 
     model = SHAS(
         wav2vec_model_name="facebook/wav2vec2-xls-r-300m",
@@ -199,26 +213,33 @@ def main() -> None:
     engine = WindowInference(model, params, loss_tag="bce",
                              compute_dtype=compute_dtype)
 
-    with tempfile.TemporaryDirectory() as td:
-        wav_path = Path(td) / "talk.wav"
-        rng = np.random.RandomState(0)
-        n = int(talk_secs * 16000)
-        audio = (rng.randn(n).astype(np.float32) * 0.1
-                 * ((np.arange(n) % 56000) < 48000))
-        write_wav(wav_path, audio)
+    pack = bool(int(os.environ.get("BENCH_PACK", "0")))
+    sweep_cfg = Config({
+        "batch_size": batch_size,
+        "inference_times": inference_times,
+        "inference_segment_length": 20,
+        "algorithm": {"tag": "dac", "max_segment_length": 10,
+                      "threshold": 0.5},
+        "task": {"loss": {"tag": "bce"}},
+        "runtime": {"pack_across_talks": pack},
+    })
 
-        dataset = FixedSegmentationDatasetNoTarget(wav_path, 20, 1)
-        dataset.fixed_length_segmentation(0)
+    with tempfile.TemporaryDirectory() as td:
+        rng = np.random.RandomState(0)
+        wav_paths = []
+        total_secs = 0.0
+        for i, secs in enumerate(talk_specs):
+            wav_path = Path(td) / f"talk{i}.wav"
+            n = int(secs * 16000)
+            audio = (rng.randn(n).astype(np.float32) * 0.1
+                     * ((np.arange(n) % 56000) < 48000))
+            write_wav(wav_path, audio)
+            wav_paths.append(wav_path)
+            total_secs += secs
 
         def run_once():
-            batches = BatchIterator(dataset, batch_size, 20.0, shuffle=False,
-                                    device_normalize=on_tpu)
-            probs, logits, _ = infer_talk(
-                engine, batches, dataset.duration_outframes,
-                need_logits=False,  # pDAC consumes probabilities only
-            )
-            segments = pdac(probs, max_segment_length=10, threshold=0.5)
-            return update_yaml_content([], segments, wav_path.name)
+            return segment_wavs(sweep_cfg, model, params, None, wav_paths,
+                                compute_dtype, engine=engine)
 
         run_once()  # warmup: compile both shape buckets
         # the TPU tunnel has high latency variance; report the best of N
@@ -231,17 +252,19 @@ def main() -> None:
             walls.append(time.perf_counter() - t0)
         wall = min(walls)
 
-    xrt = talk_secs / wall
+    xrt = total_secs / wall
     target = 50.0
     print(json.dumps({
         "metric": "xRT_segmentation_per_chip",
         "value": round(xrt, 2),
-        "unit": "audio-sec/sec (x realtime)",
+        "unit": "audio-sec/sec (x realtime, 3-talk sweep x2 passes)",
         "vs_baseline": round(xrt / target, 3),
     }))
-    print(f"# talk={talk_secs}s walls={['%.2f' % w for w in walls]} "
+    print(f"# talks={talk_specs} passes/talk={inference_times} "
+          f"walls={['%.2f' % w for w in walls]} "
           f"segments={len(yaml_content)} backend={jax.default_backend()} "
-          f"layers={keep_layers} batch={batch_size} weights={weights_src}",
+          f"layers={keep_layers} batch={batch_size} pack={pack} "
+          f"weights={weights_src}",
           file=sys.stderr)
 
 

@@ -116,6 +116,7 @@ def segment_wavs(
     vocab,
     wav_paths: list[Path],
     compute_dtype,
+    engine: WindowInference | None = None,
 ) -> list[dict]:
     """The product loop: per wav, multi-pass sliding-window inference,
     probability averaging, algorithm dispatch, yaml rows.
@@ -142,10 +143,11 @@ def segment_wavs(
                         batch_size, padded, n_devices)
             batch_size = padded
 
-    engine = WindowInference(
-        model, params, loss_tag=config.task.loss.tag,
-        compute_dtype=compute_dtype, vocab=vocab, mesh=mesh,
-    )
+    if engine is None:
+        engine = WindowInference(
+            model, params, loss_tag=config.task.loss.tag,
+            compute_dtype=compute_dtype, vocab=vocab, mesh=mesh,
+        )
     algo_conf = to_plain(config.algorithm)
     tag = algo_conf.pop("tag")
     inference_times = int(config.inference_times)
@@ -167,6 +169,21 @@ def segment_wavs(
 
     need_logits = tag == "dac_logits"
 
+    # opt-in cross-talk window packing: fill each talk's partial batches
+    # with the next talk's windows instead of padding (~10% of sweep compute
+    # otherwise runs on dead rows).  Changes batch composition, so the
+    # batch-max normalization window can differ for tail windows — same
+    # deviation class as changing batch_size; documented in PARITY.md and
+    # therefore opt-in (infer/packing.py).
+    packer = None
+    if rt.get("pack_across_talks"):
+        from ..infer.packing import PackedSweep
+
+        packer = PackedSweep(engine, batch_size,
+                             float(config.inference_segment_length),
+                             need_logits=need_logits)
+        logger.info("pack_across_talks enabled")
+
     def dispatch_one(wav_path):
         """Decode + upload + launch ALL passes of one talk (no waiting)."""
         dataset = FixedSegmentationDatasetNoTarget(
@@ -175,6 +192,11 @@ def segment_wavs(
         passes = []
         for it in range(inference_times):
             dataset.fixed_length_segmentation(it)
+            if packer is not None:
+                unit = packer.new_unit()
+                packer.add_dataset_pass(unit, dataset)
+                passes.append(unit)
+                continue
             batches = BatchIterator(
                 dataset, batch_size,
                 float(config.inference_segment_length),
@@ -195,10 +217,14 @@ def segment_wavs(
         sgm_frame_probs = None
         sgm_frame_logits = None
         for pending in h["passes"]:
-            probs, logits, _ = collect_talk(
-                engine, pending, dataset.duration_outframes,
-                need_logits=need_logits,
-            )
+            if packer is not None:
+                probs, logits = packer.drain_unit(
+                    pending, dataset.duration_outframes)
+            else:
+                probs, logits, _ = collect_talk(
+                    engine, pending, dataset.duration_outframes,
+                    need_logits=need_logits,
+                )
             if sgm_frame_probs is None:
                 sgm_frame_probs, sgm_frame_logits = probs, logits
             else:
@@ -237,6 +263,8 @@ def segment_wavs(
         in_flight = handle
     if in_flight is not None:
         drain_and_maybe_stop_profile(in_flight)
+    if packer is not None:
+        packer.close()
     wall = time.perf_counter() - t_all
     if wall > 0 and total_audio_secs:
         logger.info("segmented %.1fs of audio in %.1fs (%.0fx RT overall)",

@@ -1,0 +1,151 @@
+"""Opt-in cross-talk window packing (``runtime.pack_across_talks``).
+
+In the default sweep, every (talk, pass) unit pads its final partial batch up
+to the static batch size — ~10% of inference compute runs on dead rows
+(PERF.md "Known remaining headroom").  The packer fills those rows with the
+NEXT unit's windows instead: windows stream into per-bucket (std/tail
+static shape) buffers shared across talks, and a batch is launched whenever a
+buffer fills.  Stitching scatters each row back to its own talk.
+
+PARITY NOTE (why this is opt-in): the reference normalizes each window with
+mean/std computed over the batch-max padded row length
+(lib/datautils.py:120-125).  Packing changes which windows share a batch, so
+a talk's tail window can normalize over a different padded length than in
+the per-talk sweep — the same class of deviation as changing ``batch_size``,
+bounded accordingly (see PARITY.md "Cross-talk packing", measured in
+tests/test_packing.py).
+
+Pipelining contract: ``drain_unit`` force-flushes any partial batch still
+holding that unit's rows, so the one-talk-lookahead loop in
+cli/common.segment_wavs (drain N after dispatch N+1) never deadlocks; by
+then talk N's std-bucket remainder has normally been completed by talk
+N+1's windows and only the rare tail-bucket remainder pads.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import numpy as np
+
+from ..data.collate import collate, out_len_for
+from ..data.loader import audio_bucket_lengths
+from .pipeline import nan_fill
+
+
+class _Unit:
+    """One (talk, pass) stitching target."""
+
+    __slots__ = ("records", "n_windows")
+
+    def __init__(self):
+        self.records: list[dict] = []
+        self.n_windows = 0
+
+
+class PackedSweep:
+    def __init__(self, engine, batch_size: int, segment_length_secs: float,
+                 need_logits: bool = False, num_threads: int = 4):
+        self.engine = engine
+        self.batch_size = batch_size
+        self.std_len, self.tail_len = audio_bucket_lengths(segment_length_secs)
+        self.need_logits = need_logits
+        self._buffers: dict[int, list] = {self.std_len: [], self.tail_len: []}
+        self._pool = ThreadPoolExecutor(num_threads)
+
+    def new_unit(self) -> _Unit:
+        return _Unit()
+
+    def add_dataset_pass(self, unit: _Unit, dataset) -> None:
+        """Decode all windows of one (talk, pass) grid and buffer them."""
+        for example in self._pool.map(dataset.__getitem__,
+                                      range(len(dataset))):
+            self._add_window(unit, example)
+
+    def _add_window(self, unit: _Unit, example) -> None:
+        wav = example[0]
+        audio_len = self.std_len if len(wav) <= self.std_len else self.tail_len
+        buf = self._buffers[audio_len]
+        buf.append((unit, example))
+        unit.n_windows += 1
+        if len(buf) == self.batch_size:
+            self._flush(audio_len)
+
+    def _flush(self, audio_len: int) -> None:
+        buf = self._buffers[audio_len]
+        if not buf:
+            return
+        self._buffers[audio_len] = []
+        units = [u for u, _ in buf]
+        examples = [ex for _, ex in buf]
+        batch = collate(examples, self.batch_size, audio_len,
+                        out_len_for(audio_len), device_normalize=True)
+        probs_d, logits_d = self.engine.run_batch(batch)
+        record = {
+            "probs_d": probs_d,
+            "logits_d": logits_d if self.need_logits else None,
+            "batch": batch,
+            "rows": [(u, i) for i, u in enumerate(units)],
+            "probs": None,
+            "logits": None,
+        }
+        for u in set(units):
+            u.records.append(record)
+
+    def _materialize(self, record: dict) -> None:
+        if record["probs"] is not None:
+            return
+        if record["logits_d"] is not None:
+            probs, logits = jax.device_get(
+                (record["probs_d"], record["logits_d"]))
+            record["logits"] = logits
+        else:
+            probs = np.asarray(record["probs_d"])
+        record["probs"] = probs
+
+    def drain_unit(self, unit: _Unit, duration_outframes: int):
+        """Flush anything still buffering this unit's windows, then stitch
+        its rows (reference lib/evaluate.py:100-125 semantics, incl. the
+        .5-outframe end clamp and NaN-gap fill)."""
+        for audio_len, buf in list(self._buffers.items()):
+            if any(u is unit for u, _ in buf):
+                self._flush(audio_len)
+
+        vocab_size = getattr(self.engine.model, "vocab_size", 1)
+        talk_probs = np.full(duration_outframes, np.nan)
+        if vocab_size and vocab_size > 1:
+            talk_logits = np.full((duration_outframes, vocab_size), np.nan)
+        else:
+            talk_logits = np.full(duration_outframes, np.nan)
+
+        n_scattered = 0
+        for record in unit.records:
+            self._materialize(record)
+            batch = record["batch"]
+            for u, i in record["rows"]:
+                if u is not unit:
+                    continue
+                n_scattered += 1
+                start, end = int(batch.starts[i]), int(batch.ends[i])
+                end = min(end, duration_outframes)
+                if batch.included[i] and end > start:
+                    d = end - start
+                    talk_probs[start:end] = record["probs"][i, :d]
+                    if record["logits"] is not None:
+                        talk_logits[start:end] = record["logits"][i, :d]
+                elif not batch.included[i] and end > start:
+                    talk_probs[start:end] = 0
+                    talk_logits[start:end] = 0
+        assert n_scattered == unit.n_windows, (n_scattered, unit.n_windows)
+        unit.records = []
+
+        nan_fill(talk_probs, duration_outframes)
+        if self.need_logits:
+            nan_fill(talk_logits, duration_outframes)
+        else:
+            talk_logits = np.zeros_like(talk_logits)
+        return talk_probs, talk_logits
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)
