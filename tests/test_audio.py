@@ -109,3 +109,54 @@ def test_unsupported_sample_width_fails_loudly(tmp_path):
             audio_mod.read_wav_window(path, 0, None)
     finally:
         audio_mod._native = old
+
+
+def test_waveform_cache_matches_seek_reads(tmp_path):
+    """WaveformCache slices must be bit-identical to per-window seek reads,
+    with LRU eviction keeping only `capacity` files."""
+    import numpy as np
+
+    from wav2vecsegmenter_tpu.data.audio import (
+        WaveformCache,
+        read_wav_window,
+        write_wav,
+    )
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"c{i}.wav"
+        write_wav(p, rng.randn(16000 * 2).astype(np.float32) * 0.3)
+        paths.append(p)
+
+    cache = WaveformCache(2)
+    for p in paths:
+        for off, n in ((0, 16000), (500, 1234), (31999, 1), (16000, 16000)):
+            np.testing.assert_array_equal(
+                cache.window(p, off, n), read_wav_window(p, off, n))
+    assert len(cache._data) == 2
+    # oldest evicted, newest kept
+    assert str(paths[0]) not in cache._data
+    assert str(paths[2]) in cache._data
+
+
+def test_fixed_dataset_windows_identical_with_cache(tmp_path):
+    """FixedSegmentationDatasetNoTarget windows equal direct seek reads."""
+    import numpy as np
+
+    from wav2vecsegmenter_tpu.data.audio import read_wav_window, write_wav
+    from wav2vecsegmenter_tpu.data.datasets import (
+        FixedSegmentationDatasetNoTarget,
+    )
+
+    rng = np.random.RandomState(1)
+    p = tmp_path / "talk.wav"
+    write_wav(p, rng.randn(16000 * 9).astype(np.float32) * 0.3)
+    ds = FixedSegmentationDatasetNoTarget(p, segment_length=4,
+                                          inference_times=2)
+    for it in range(2):
+        ds.fixed_length_segmentation(it)
+        for i in range(len(ds)):
+            wav, _, _, _ = ds[i]
+            s, e = int(ds.starts[i]), int(ds.ends[i])
+            np.testing.assert_array_equal(wav, read_wav_window(p, s, e - s))

@@ -74,6 +74,47 @@ def read_wav_window(path: str | Path, offset: int = 0,
     return data
 
 
+class WaveformCache:
+    """Thread-safe tiny LRU of fully-decoded waveforms.
+
+    The fixed-grid inference/eval datasets read the SAME wav once per
+    window and once per pass (the reference's torchaudio seek-read pattern,
+    lib/dataset.py:659-663) — for a 600 s talk at 2 passes that is ~60
+    file-open+seek+decode round trips for 38 MB of samples.  Access is
+    talk-sequential there, so a capacity-2 LRU turns all but the first
+    read into memory slices.  NOT used by the random training dataset
+    (shuffled corpus-wide access would thrash any small cache).
+    """
+
+    def __init__(self, capacity: int = 2):
+        import collections
+        import threading
+
+        self._cap = capacity
+        self._data: "collections.OrderedDict[str, np.ndarray]" = \
+            collections.OrderedDict()
+        self._lock = threading.Lock()
+
+    def full(self, path: str | Path) -> np.ndarray:
+        key = str(path)
+        with self._lock:
+            if key in self._data:
+                self._data.move_to_end(key)
+                return self._data[key]
+        data = read_wav_window(key, 0, None)
+        with self._lock:
+            self._data[key] = data
+            self._data.move_to_end(key)
+            while len(self._data) > self._cap:
+                self._data.popitem(last=False)
+        return data
+
+    def window(self, path: str | Path, offset: int,
+               num_frames: int) -> np.ndarray:
+        full = self.full(path)
+        return full[offset : offset + num_frames]
+
+
 def assert_sample_rate(path: str | Path) -> int:
     """Sample-rate guard (reference lib/dataset.py:600-602)."""
     n, sr, _ = wav_info(path)

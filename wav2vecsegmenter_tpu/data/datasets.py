@@ -85,6 +85,9 @@ class _GridDataset:
         self.rows: list = []
         self.n_pos = 0
         self.n_all = 0
+        # set by fixed-grid subclasses (talk-sequential access); None for
+        # the random training dataset (shuffled corpus-wide access)
+        self._wav_cache = None
 
     def _add_talk_windows(self, talk_id, starts, ends) -> None:
         row = self.corpus.talk_row(talk_id)
@@ -104,7 +107,10 @@ class _GridDataset:
 
     def __getitem__(self, idx: int):
         talk_id, path, s, e, spans = self.rows[idx]
-        waveform = read_wav_window(path, s, e - s)
+        if self._wav_cache is not None:
+            waveform = self._wav_cache.window(path, s, e - s)
+        else:
+            waveform = read_wav_window(path, s, e - s)
         target = construct_target(spans, e - s)
         start = int(inframes_to_outframes(s + 1e-6))
         end = int(inframes_to_outframes(e + 1e-6))
@@ -134,9 +140,12 @@ class FixedSegmentationDataset(_GridDataset):
     def __init__(self, talk_list, segments_list, segment_length,
                  inference_times: int = 1):
         super().__init__(SegmentationCorpus(talk_list, segments_list))
+        from .audio import WaveformCache
+
         self.segment_length = segment_length
         self.inference_times = inference_times
         self.duration_outframes: int | None = None
+        self._wav_cache = WaveformCache(2)
 
     def generate_fixed_segments(self, talk_id, iteration: int) -> None:
         self.rows = []
@@ -164,6 +173,8 @@ class FixedSegmentationDatasetNoTarget:
 
     def __init__(self, path_to_wav, segment_length: float = 20,
                  inference_times: int = 1):
+        from .audio import WaveformCache
+
         self.path_to_wav = str(path_to_wav)
         self.segment_length = segment_length
         self.inference_times = inference_times
@@ -172,6 +183,10 @@ class FixedSegmentationDatasetNoTarget:
             inframes_to_outframes(self.duration_inframes))
         self.starts = np.array([], int)
         self.ends = np.array([], int)
+        # one talk: decode once, slice every window of every pass from
+        # memory (the reference seek-reads the file per window,
+        # lib/dataset.py:659-663)
+        self._wav_cache = WaveformCache(1)
 
     def fixed_length_segmentation(self, iteration: int) -> None:
         self.starts, self.ends = fixed_window_grid(
@@ -184,7 +199,7 @@ class FixedSegmentationDatasetNoTarget:
 
     def __getitem__(self, idx: int):
         s, e = int(self.starts[idx]), int(self.ends[idx])
-        waveform = read_wav_window(self.path_to_wav, s, e - s)
+        waveform = self._wav_cache.window(self.path_to_wav, s, e - s)
         start = int(inframes_to_outframes(s + 1e-6))
         end = int(inframes_to_outframes(e + 1e-6))
         return waveform, None, start, end
