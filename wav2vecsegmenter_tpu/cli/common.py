@@ -252,17 +252,23 @@ def segment_wavs(
             logger.info("profiler trace of first talk written to %s",
                         profile_dir)
 
-    # one-talk lookahead: talk N+1's decode + uploads + forwards are in
+    # talk lookahead: the next talks' decode + uploads + forwards are in
     # flight while talk N's probabilities stream back and its segmentation
-    # algorithm runs on host — the device never idles between talks
-    in_flight = None
+    # algorithm runs on host — the device never idles between talks.
+    # Packed sweeps need DEPTH 2: a talk's last batch only flushes once the
+    # NEXT talk's windows top the buffer up, so with depth 1 every drain
+    # would block on a just-launched batch (measured 0.68x on a 16-talk
+    # TPU sweep); one extra talk of lookahead restores the slack.
+    from collections import deque
+
+    lookahead = 2 if packer is not None else 1
+    in_flight: deque = deque()
     for wav_path in tqdm(wav_paths, desc="talks"):
-        handle = dispatch_one(wav_path)
-        if in_flight is not None:
-            drain_and_maybe_stop_profile(in_flight)
-        in_flight = handle
-    if in_flight is not None:
-        drain_and_maybe_stop_profile(in_flight)
+        in_flight.append(dispatch_one(wav_path))
+        if len(in_flight) > lookahead:
+            drain_and_maybe_stop_profile(in_flight.popleft())
+    while in_flight:
+        drain_and_maybe_stop_profile(in_flight.popleft())
     if packer is not None:
         packer.close()
     wall = time.perf_counter() - t_all

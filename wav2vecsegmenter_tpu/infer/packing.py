@@ -53,6 +53,12 @@ class PackedSweep:
         self.need_logits = need_logits
         self._buffers: dict[int, list] = {self.std_len: [], self.tail_len: []}
         self._pool = ThreadPoolExecutor(num_threads)
+        # collate + device dispatch run on ONE background thread so the
+        # main thread's drains (device_get through the tunnel) overlap
+        # with the next batches' host work — mirrors BatchIterator's
+        # producer-thread overlap in the unpacked sweep (measured 0.74x
+        # without this on a 16-talk TPU sweep)
+        self._dispatch = ThreadPoolExecutor(1)
 
     def new_unit(self) -> _Unit:
         return _Unit()
@@ -79,13 +85,16 @@ class PackedSweep:
         self._buffers[audio_len] = []
         units = [u for u, _ in buf]
         examples = [ex for _, ex in buf]
-        batch = collate(examples, self.batch_size, audio_len,
-                        out_len_for(audio_len), device_normalize=True)
-        probs_d, logits_d = self.engine.run_batch(batch)
+
+        def work():
+            batch = collate(examples, self.batch_size, audio_len,
+                            out_len_for(audio_len), device_normalize=True)
+            probs_d, logits_d = self.engine.run_batch(batch)
+            return batch, probs_d, logits_d
+
         record = {
-            "probs_d": probs_d,
-            "logits_d": logits_d if self.need_logits else None,
-            "batch": batch,
+            "future": self._dispatch.submit(work),
+            "batch": None,
             "rows": [(u, i) for i, u in enumerate(units)],
             "probs": None,
             "logits": None,
@@ -96,12 +105,13 @@ class PackedSweep:
     def _materialize(self, record: dict) -> None:
         if record["probs"] is not None:
             return
-        if record["logits_d"] is not None:
-            probs, logits = jax.device_get(
-                (record["probs_d"], record["logits_d"]))
+        batch, probs_d, logits_d = record["future"].result()
+        record["batch"] = batch
+        if self.need_logits:
+            probs, logits = jax.device_get((probs_d, logits_d))
             record["logits"] = logits
         else:
-            probs = np.asarray(record["probs_d"])
+            probs = np.asarray(probs_d)
         record["probs"] = probs
 
     def drain_unit(self, unit: _Unit, duration_outframes: int):
@@ -149,3 +159,4 @@ class PackedSweep:
 
     def close(self) -> None:
         self._pool.shutdown(wait=False)
+        self._dispatch.shutdown(wait=False)
