@@ -255,10 +255,14 @@ def segment_wavs(
     # talk lookahead: the next talks' decode + uploads + forwards are in
     # flight while talk N's probabilities stream back and its segmentation
     # algorithm runs on host — the device never idles between talks.
-    # Packed sweeps need DEPTH 2: a talk's last batch only flushes once the
-    # NEXT talk's windows top the buffer up, so with depth 1 every drain
-    # would block on a just-launched batch (measured 0.68x on a 16-talk
-    # TPU sweep); one extra talk of lookahead restores the slack.
+    # Dispatch stays on the MAIN thread: a 1-worker dispatcher thread was
+    # built and A/B-measured (same process, alternating arms) — equal best
+    # wall, WORSE median (2.55/5.66 vs 2.53/3.62 s) on this 1-core host,
+    # where a third CPU-bound thread only adds GIL contention with the
+    # BatchIterator producer; revisit on a many-core TPU host.  Packed
+    # sweeps need DEPTH 2: a talk's last batch only flushes once the NEXT
+    # talk's windows top the buffer up, so with depth 1 every drain would
+    # block on a just-launched batch (measured 0.68x on a 16-talk sweep).
     from collections import deque
 
     lookahead = 2 if packer is not None else 1
