@@ -102,17 +102,30 @@ class PackedSweep:
         for u in set(units):
             u.records.append(record)
 
-    def _materialize(self, record: dict) -> None:
-        if record["probs"] is not None:
+    def _materialize_all(self, records: list) -> None:
+        """Download every unresolved record in ONE jax.device_get (it
+        issues copy_to_host_async per leaf before blocking, so the
+        transfers overlap into ~one round-trip — same rationale as
+        pipeline.collect_talk)."""
+        resolved = []
+        for record in records:
+            if record["probs"] is not None:
+                continue
+            batch, probs_d, logits_d = record["future"].result()
+            record["batch"] = batch
+            resolved.append((record, probs_d, logits_d))
+        if not resolved:
             return
-        batch, probs_d, logits_d = record["future"].result()
-        record["batch"] = batch
         if self.need_logits:
-            probs, logits = jax.device_get((probs_d, logits_d))
-            record["logits"] = logits
+            all_probs, all_logits = jax.device_get(
+                ([p for _, p, _ in resolved], [l for _, _, l in resolved]))
         else:
-            probs = np.asarray(probs_d)
-        record["probs"] = probs
+            all_probs = jax.device_get([p for _, p, _ in resolved])
+            all_logits = [None] * len(resolved)
+        for (record, _, _), probs, logits in zip(resolved, all_probs,
+                                                 all_logits):
+            record["probs"] = probs
+            record["logits"] = logits
 
     def drain_unit(self, unit: _Unit, duration_outframes: int):
         """Flush anything still buffering this unit's windows, then stitch
@@ -129,9 +142,9 @@ class PackedSweep:
         else:
             talk_logits = np.full(duration_outframes, np.nan)
 
+        self._materialize_all(unit.records)
         n_scattered = 0
         for record in unit.records:
-            self._materialize(record)
             batch = record["batch"]
             for u, i in record["rows"]:
                 if u is not unit:
