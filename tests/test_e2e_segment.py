@@ -142,3 +142,22 @@ def test_segment_cli_on_mesh_matches_single_device(workspace):
     mesh = (out_mesh / "custom_segments.yaml").read_bytes()
     assert single == mesh
     assert len(yaml.safe_load(single)) > 0
+
+
+def test_remainder_ladder_matches_full_padding(workspace):
+    """runtime.infer_remainder_ladder (default on) right-sizes each
+    (talk, pass)'s final partial batch instead of padding to batch_size.
+    Batch membership is unchanged, so the batch-max normalization window is
+    identical and the product output must match the padded-to-batch_size
+    run exactly (data/loader._slots_for)."""
+    _, out_ladder = _run_segment(
+        workspace, "out_ladder_on", ["algorithm=pthr"]
+    )
+    _, out_padded = _run_segment(
+        workspace, "out_ladder_off",
+        ["algorithm=pthr", "runtime.infer_remainder_ladder=false"],
+    )
+    ladder = (out_ladder / "custom_segments.yaml").read_bytes()
+    padded = (out_padded / "custom_segments.yaml").read_bytes()
+    assert ladder == padded
+    assert len(yaml.safe_load(ladder)) > 0

@@ -121,3 +121,26 @@ def test_half_outframe_talk_length_clamps(tmp_path):
     probs, logits, _ = infer_talk(engine, batches, dataset.duration_outframes)
     assert probs.shape == (1498,)
     assert not np.isnan(probs).any()
+
+
+def test_remainder_ladder_slots():
+    from wav2vecsegmenter_tpu.data.loader import BatchIterator
+
+    def slots(n, batch_size, ladder=True, m=1):
+        it = BatchIterator.__new__(BatchIterator)
+        it.batch_size = batch_size
+        it.remainder_ladder = ladder
+        it.min_multiple = m
+        return it._slots_for(n)
+
+    # ladder off: always the static batch size
+    assert slots(1, 10, ladder=False) == 10
+    # power-of-two ladder, capped at batch_size
+    assert [slots(n, 10) for n in range(1, 11)] == [1, 2, 4, 4, 8, 8, 8, 8,
+                                                    10, 10]
+    assert slots(3, 16) == 4
+    assert slots(16, 16) == 16
+    # mesh divisibility: slots rounded up to the device multiple
+    assert slots(1, 16, m=8) == 8
+    assert slots(9, 16, m=8) == 16
+    assert slots(5, 10, m=4) == 8

@@ -202,6 +202,12 @@ def segment_wavs(
                 float(config.inference_segment_length),
                 shuffle=False,
                 device_normalize=True,
+                # right-size the final partial batch of each (talk, pass)
+                # instead of padding to batch_size (data/loader._slots_for);
+                # runtime.infer_remainder_ladder=false restores single-shape
+                # compilation if the extra per-slot-count compiles hurt
+                remainder_ladder=bool(rt.get("infer_remainder_ladder", True)),
+                min_multiple=n_devices if mesh is not None else 1,
             )
             passes.append(dispatch_talk(engine, batches))
         return {"wav": wav_path, "dataset": dataset, "passes": passes,

@@ -53,6 +53,8 @@ class BatchIterator:
         autoregression: bool = False,
         sep_token_id: int = 3,
         device_normalize: bool = False,
+        remainder_ladder: bool = False,
+        min_multiple: int = 1,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -65,6 +67,8 @@ class BatchIterator:
         self.autoregression = autoregression
         self.sep_token_id = sep_token_id
         self.device_normalize = device_normalize
+        self.remainder_ladder = remainder_ladder
+        self.min_multiple = max(1, int(min_multiple))
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -74,6 +78,28 @@ class BatchIterator:
         max_len = max(len(ex[0]) for ex in examples)
         audio_len = self.std_len if max_len <= self.std_len else self.tail_len
         return audio_len, out_len_for(audio_len)
+
+    def _slots_for(self, n: int) -> int:
+        """Static row count for a batch of ``n`` real examples.
+
+        Without the ladder every batch pads to ``batch_size``; with it, a
+        final partial batch runs at the smallest power-of-two slot count
+        >= n (rounded up to ``min_multiple`` for mesh divisibility) so a
+        sweep's remainder batches stop spending ~90% of their rows on dead
+        compute.  The examples sharing the batch are unchanged, so the
+        batch-max normalization window is identical — the reference's own
+        final DataLoader batch has exactly n rows, making a right-sized
+        batch *more* faithful, not less (lib/datautils.py:120-125).  Cost:
+        one extra XLA program per (slot count, audio bucket) actually seen.
+        """
+        if not self.remainder_ladder or n >= self.batch_size:
+            return self.batch_size
+        m = self.min_multiple
+        slots = 1
+        while slots < n:
+            slots *= 2
+        slots = ((slots + m - 1) // m) * m
+        return min(slots, self.batch_size)
 
     def __iter__(self):
         order = np.arange(len(self.dataset))
@@ -97,14 +123,15 @@ class BatchIterator:
                             return
                         examples = list(pool.map(self.dataset.__getitem__, idx))
                         audio_len, out_len = self._bucket_for(examples)
+                        slots = self._slots_for(len(examples))
                         if self.autoregression:
                             batch = collate_autoreg(
-                                examples, self.batch_size, audio_len, out_len,
+                                examples, slots, audio_len, out_len,
                                 int(self.pad_token_id), self.sep_token_id,
                             )
                         else:
                             batch = collate(
-                                examples, self.batch_size, audio_len, out_len,
+                                examples, slots, audio_len, out_len,
                                 self.pad_token_id,
                                 device_normalize=self.device_normalize,
                             )
