@@ -241,10 +241,12 @@ def main() -> None:
             return segment_wavs(sweep_cfg, model, params, None, wav_paths,
                                 compute_dtype, engine=engine)
 
-        run_once()  # warmup: compile both shape buckets
-        # the TPU tunnel has high latency variance; report the best of N
-        # passes (the sustained-throughput measure), log all passes
-        n_passes = int(os.environ.get("BENCH_PASSES", 3))
+        run_once()  # warmup: compile both shape buckets + ladder shapes
+        # the TPU tunnel has high latency variance (same sweep measured
+        # 2.3-4.3 s across minutes); report the best of N passes (the
+        # sustained-throughput measure), log all passes.  6 passes ~25 s:
+        # cheap insurance against sampling only a slow tunnel phase.
+        n_passes = int(os.environ.get("BENCH_PASSES", 6))
         walls = []
         for _ in range(n_passes):
             t0 = time.perf_counter()
