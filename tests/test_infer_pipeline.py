@@ -144,3 +144,34 @@ def test_remainder_ladder_slots():
     assert slots(1, 16, m=8) == 8
     assert slots(9, 16, m=8) == 16
     assert slots(5, 10, m=4) == 8
+
+
+def test_batch_loss_means_over_real_rows():
+    """The per-batch eval loss means over the batch's REAL rows — the
+    reference's final partial DataLoader batch has exactly r rows
+    (lib/evaluate.py:81), so averaging over static padding slots (loss 0)
+    would deflate it.  The value must also be invariant to the slot count
+    the same examples are padded to (remainder ladder)."""
+    from wav2vecsegmenter_tpu.train.loss import build_loss
+
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    loss_fn, _, _ = build_loss({"tag": "bce", "pos_weight": None})
+    engine = WindowInference(model, params, loss_fn=loss_fn)
+
+    rng = np.random.RandomState(1)
+    examples = []
+    for i in range(3):
+        wav = rng.randn(16000).astype(np.float32) * 0.1
+        tgt = (rng.rand(50) > 0.5).astype(np.float32)
+        examples.append((wav, tgt, i * 50, (i + 1) * 50))
+
+    losses = {}
+    for slots in (3, 4, 8):
+        batch = collate(examples, slots, 16000, 50)
+        _, logits = engine.run_batch(batch)
+        losses[slots] = engine.batch_loss(batch, np.asarray(logits))
+    assert np.isfinite(losses[3])
+    # exact-fit batch defines the reference value; padded slot counts match
+    assert losses[4] == pytest.approx(losses[3], rel=1e-5)
+    assert losses[8] == pytest.approx(losses[3], rel=1e-5)

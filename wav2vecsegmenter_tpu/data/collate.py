@@ -37,6 +37,9 @@ class Batch:
     # normalization stats are computed on device over [0, norm_length)
     norm_length: int = 0
     device_normalize: bool = False
+    # real example rows (the rest are static-shape padding); the reference's
+    # per-batch loss means over exactly these rows (lib/evaluate.py:81)
+    n_real: int = 0
 
 
 def collate(
@@ -116,7 +119,8 @@ def collate(
             out_mask[:, size2 - 1 :] = False
 
     return Batch(audio, in_lengths, target, out_mask, included, starts, ends,
-                 norm_length=norm_length, device_normalize=device_normalize)
+                 norm_length=norm_length, device_normalize=device_normalize,
+                 n_real=n)
 
 
 def out_len_for(audio_len: int) -> int:

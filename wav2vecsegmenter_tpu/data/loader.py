@@ -214,7 +214,11 @@ class FixedDataloaderGenerator:
         autoregression: bool = False,
         vocab=None,
         device_normalize: bool = False,
+        remainder_ladder: bool = False,
     ) -> None:
+        # right-size each talk's final partial batch (see _slots_for); the
+        # train loop flips this from runtime.infer_remainder_ladder
+        self.remainder_ladder = remainder_ladder
         self.device_normalize = device_normalize
         self.batch_size = batch_size
         self.num_workers = num_workers
@@ -240,6 +244,7 @@ class FixedDataloaderGenerator:
             autoregression=self.autoregression,
             sep_token_id=self.vocab.sep_token_id if self.vocab else 3,
             device_normalize=self.device_normalize and not self.autoregression,
+            remainder_ladder=self.remainder_ladder,
         )
 
     def get_talk_ids(self) -> list:

@@ -111,7 +111,10 @@ class WindowInference:
 
     def batch_loss(self, batch: Batch, logits) -> float:
         """Masked BCE eval loss of one batch (reference lib/evaluate.py:74-81:
-        per-point loss, zeroed at ~out_mask, summed per row, batch mean)."""
+        per-point loss, zeroed at ~out_mask, summed per row, batch mean).
+        The mean runs over the batch's REAL rows only — the reference's
+        final partial batch has exactly that many rows, so averaging over
+        static padding rows (whose loss is zero) would deflate it."""
         import numpy as np
 
         if self.loss_fn is None or batch.target is None:
@@ -121,7 +124,8 @@ class WindowInference:
         lpp = np.asarray(self.loss_fn(jnp.asarray(lg[:, :t]),
                                       jnp.asarray(batch.target[:, :t])))
         lpp = np.where(batch.out_mask[:, :t], lpp, 0.0)
-        return float(lpp.sum(axis=1).mean())
+        n = batch.n_real or len(lpp)
+        return float(lpp.sum(axis=1)[:n].mean())
 
     def run_batch(self, batch: Batch):
         key = "fwd_norm" if batch.device_normalize else "fwd"

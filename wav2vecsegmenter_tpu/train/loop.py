@@ -199,6 +199,12 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
         merge(merge(config.task.eval_generator, config.data.eval), device_conf),
         autoregression=autoregression, vocab=vocab,
     )
+    # right-size eval talks' final partial batches (data/loader._slots_for);
+    # off by default in training: each new slot count compiles another eval
+    # forward, a surprise stall mid-run on cold compile caches
+    if hasattr(eval_gen, "remainder_ladder"):
+        eval_gen.remainder_ladder = bool(rt.get("infer_remainder_ladder",
+                                                False))
 
     from ..cli.common import build_model
 
