@@ -235,6 +235,70 @@ def test_strided_conv1d_as_matmul_matches_conv():
         np.testing.assert_allclose(got, ref, atol=1e-4, err_msg=str((k, s, t)))
 
 
+def test_strided_conv_t_out_pad_prefix_exact():
+    """t_out_pad computes extra garbage rows but the real prefix must be
+    exactly the unpadded result (the alignment fast path relies on it);
+    also when t_out_pad is BELOW the natural t_out of a pre-padded input."""
+    import jax.numpy as jnp
+
+    from wav2vecsegmenter_tpu.models.wav2vec2 import _strided_conv1d_as_matmul
+
+    rng = np.random.RandomState(3)
+    for (k, s, c, o, t) in [(10, 5, 1, 8, 1601), (3, 2, 8, 8, 321),
+                            (2, 2, 8, 16, 80), (5, 2, 48, 8, 95)]:
+        x = rng.randn(2, t, c).astype(np.float32)
+        w = (rng.randn(k, c, o) * 0.1).astype(np.float32)
+        base = np.asarray(_strided_conv1d_as_matmul(
+            jnp.asarray(x), jnp.asarray(w), s, jnp.float32))
+        t_out = base.shape[1]
+        for pad_to in (t_out, -(-t_out // 8) * 8, t_out + 11):
+            got = np.asarray(_strided_conv1d_as_matmul(
+                jnp.asarray(x), jnp.asarray(w), s, jnp.float32,
+                t_out_pad=pad_to))
+            assert got.shape[1] == pad_to
+            np.testing.assert_array_equal(got[:, :t_out], base,
+                                          err_msg=str((k, s, t, pad_to)))
+        # pre-padded input + t_out_pad below its natural t_out: the fold
+        # trims the view; real rows still exact
+        xp = np.pad(x, ((0, 0), (0, 7), (0, 0)))
+        got = np.asarray(_strided_conv1d_as_matmul(
+            jnp.asarray(xp), jnp.asarray(w), s, jnp.float32,
+            t_out_pad=t_out))
+        np.testing.assert_array_equal(got[:, :t_out], base)
+
+
+def test_feature_extractor_alignment_padding_exact():
+    """Layer-norm-mode feature_extractor output with the 8-aligned padded
+    path must equal a run over an input length whose conv outputs are
+    naturally aligned-free (the same real frames either way)."""
+    import jax.numpy as jnp
+
+    from wav2vecsegmenter_tpu.models.wav2vec2 import (
+        Wav2Vec2Config, feature_extractor, init_wav2vec2_params)
+
+    cfg = Wav2Vec2Config(
+        hidden_size=64, num_layers=2, num_heads=4, ffn_dim=128,
+        conv_dim=(16,) * 7, conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+        conv_stride=(5, 2, 2, 2, 2, 2, 2),
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4)
+    import jax
+
+    params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(4)
+    audio = rng.randn(2, 8000).astype(np.float32) * 0.1
+    out = np.asarray(feature_extractor(params, jnp.asarray(audio), cfg,
+                                       jnp.float32))
+    # longer audio shares the real prefix frames: every real frame of the
+    # short input reads only real samples, so prefix outputs must agree
+    audio2 = np.concatenate([audio, rng.randn(2, 640).astype(np.float32)],
+                            axis=1)
+    out2 = np.asarray(feature_extractor(params, jnp.asarray(audio2), cfg,
+                                        jnp.float32))
+    n = out.shape[1]
+    np.testing.assert_allclose(out2[:, :n], out, atol=2e-5)
+    assert not np.isnan(out).any()
+
+
 def test_bias_ln_gelu_fused_matches_xla(rng):
     """Fused conv-epilogue kernel (bias + LN + exact GELU) vs the unfused
     XLA composition, forward and gradients."""

@@ -262,7 +262,8 @@ def _dropout(x, rate, deterministic, rng):
 
 
 def _strided_conv1d_as_matmul(x: jax.Array, w: jax.Array, stride: int,
-                              compute_dtype) -> jax.Array:
+                              compute_dtype,
+                              t_out_pad: int | None = None) -> jax.Array:
     """VALID 1-D strided conv as stride-folding + MXU matmuls.
 
     XLA's TPU conv lowering is pathological for the wav2vec2 feature
@@ -275,10 +276,23 @@ def _strided_conv1d_as_matmul(x: jax.Array, w: jax.Array, stride: int,
     ``y`` — no patch materialization, K-dims of s*C (1024 for the 512-ch
     layers), accumulated in f32.  Taps past k multiply zero weight rows
     (exact).  x [B, T, C], w [k, C, O] -> [B, T', O], T' = (T - k)//s + 1.
+
+    ``t_out_pad`` (>= the real T') computes that many output rows instead,
+    reading zero-padded input for the extras: with T' a multiple of 8 the
+    [B,T',C] <-> [B*T',C] flattens around the GEMMs become free bitcasts
+    instead of physical retiling copies (TPU (8,128) tiling pads each
+    example's row block to 8 sublanes when T' is odd).  Measured bit-exact
+    on TPU for the real rows and 69.9 -> 44.1 ms/batch for the conv stack
+    (scripts/bench_conv_cf.py; the channels-first rewrite measured there
+    lost — see PERF.md).  The caller slices the garbage tail off.
     """
     b, t, c = x.shape
     k, _, o = w.shape
     t_out = (t - k) // stride + 1
+    if t_out_pad is not None:
+        # may be below the natural t_out when the input itself was padded:
+        # the fold below then trims the input view instead of padding it
+        t_out = t_out_pad
     n_taps = -(-k // stride)  # ceil(k / stride)
     # pad x so every tap's view has t_out full rows after folding
     t_need = (n_taps + t_out - 1) * stride
@@ -331,11 +345,23 @@ def _strided_conv1d_as_matmul(x: jax.Array, w: jax.Array, stride: int,
 def feature_extractor(params: dict, audio: jax.Array,
                       cfg: Wav2Vec2Config,
                       compute_dtype=jnp.float32) -> jax.Array:
-    """audio [B, L] -> features [B, T, conv_dim[-1]] (HF conv stack)."""
+    """audio [B, L] -> features [B, T, conv_dim[-1]] (HF conv stack).
+
+    In layer-norm mode every layer's T' is padded up to a multiple of 8
+    (see _strided_conv1d_as_matmul) and the garbage tail is sliced off at
+    the end — valid because LN/bias/GELU are per-position and a real output
+    row never reads a padded input row (s*t' + k - 1 < t_real for real t').
+    GroupNorm normalizes over TIME, so group mode runs unpadded.
+    """
+    align = 8 if cfg.feat_extract_norm == "layer" else 1
+    t_real = audio.shape[1]
     x = audio[:, :, None].astype(compute_dtype)  # [B, L, 1]
     for i, layer in enumerate(params["feature_extractor"]["convs"]):
         w = layer["w"].astype(compute_dtype)
-        x = _strided_conv1d_as_matmul(x, w, cfg.conv_stride[i], compute_dtype)
+        k, s = cfg.conv_kernel[i], cfg.conv_stride[i]
+        t_real = (t_real - k) // s + 1
+        t_pad = -(-t_real // align) * align if align > 1 else None
+        x = _strided_conv1d_as_matmul(x, w, s, compute_dtype, t_out_pad=t_pad)
         if "ln" in layer and "b" in layer:
             # one fused HBM pass for the whole conv epilogue (the unfused
             # chain costs 3 extra round-trips over [B, 64000, 512]-sized
@@ -358,6 +384,8 @@ def feature_extractor(params: dict, audio: jax.Array,
             x = ((x32 - mean) * jax.lax.rsqrt(var + cfg.layer_norm_eps)
                  * layer["gn"]["scale"] + layer["gn"]["bias"]).astype(x.dtype)
         x = _gelu(x)
+    if x.shape[1] != t_real:  # drop the alignment-padding garbage tail
+        x = x[:, :t_real]
     return x
 
 
