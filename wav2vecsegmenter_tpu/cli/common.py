@@ -51,12 +51,29 @@ def init_logging(config: Config, logfile: str = "log") -> None:
         force=True,
     )
     logger.info("Host: [%s]", os.uname()[1])
+    logger.info("JAX_PLATFORMS = %s", os.environ.get("JAX_PLATFORMS", ""))
     git = subprocess.run(
-        ["git", "rev-parse", "HEAD"], capture_output=True, text=True, check=False
+        ["git", "rev-parse", "--is-inside-work-tree"],
+        capture_output=True, text=True, check=False,
     )
     if git.returncode == 0:
-        logger.info("Git commit: %s", git.stdout.strip())
+        # reference init dumps the last commit AND the working-tree diff so
+        # every run log records exactly what code produced it
+        # (reference train.py:757-767)
+        git_log = subprocess.run(
+            ["git", "log", "-n1"], capture_output=True, text=True, check=False
+        ).stdout
+        git_diff = subprocess.run(
+            ["git", "diff"], capture_output=True, text=True, check=False
+        ).stdout
+        logger.info(
+            "Git repository is found. Dumping logs & diffs...\n%s\n%s",
+            git_log, git_diff,
+        )
+    else:
+        logger.info("Git repository is not found.")
     logger.info("Command: %s", " ".join(sys.argv))
+    logger.info("Command is executed at: [%s]", os.getcwd())
     logger.info("Config:\n%s", to_yaml(config))
 
 
