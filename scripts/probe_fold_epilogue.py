@@ -46,10 +46,17 @@ def main():
     from wav2vecsegmenter_tpu.ops.layernorm import (
         _bln_gelu_call, _bln_gelu_kernel, _erf_approx)
 
+    t_start = time.time()
+
+    def stamp(msg):
+        print(f"[{time.time() - t_start:7.1f}s] {msg}", flush=True)
+
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 4)
     x16 = jax.random.normal(ks[0], (ROWS, H), jnp.bfloat16)
     x32 = x16.astype(jnp.float32)
+    np.asarray(x32[0, :1])
+    stamp("inputs materialized")
     cb = jax.random.normal(ks[1], (H,), jnp.float32) * 0.1
     sc = 1.0 + 0.1 * jax.random.normal(ks[2], (H,), jnp.float32)
     bi = 0.1 * jax.random.normal(ks[3], (H,), jnp.float32)
@@ -97,12 +104,18 @@ def main():
     # bf16 but costs one extra elementwise pass over x in EVERY arm equally
     # (x32+c is the same pass), so relative timings stay honest.
 
-    # numerics: fold == base regrouped
-    yb = np.asarray(_bln_gelu_call(x16, cb, sc, bi, eps, 256),
-                    dtype=np.float32)
-    yf = np.asarray(fold_call(x16), dtype=np.float32)
-    np.testing.assert_array_equal(yb.reshape(yf.shape), yf)
-    print("fold == base.reshape: exact", flush=True)
+    # numerics: fold == base regrouped (device-side compare, scalar download
+    # — a full download is ~20 s through the tunnel)
+    if not os.environ.get("SKIP_CHECK"):
+        @jax.jit
+        def check():
+            yb = _bln_gelu_call(x16, cb, sc, bi, eps, 256)
+            yf = fold_call(x16)
+            return jnp.max(jnp.abs(yb.reshape(yf.shape).astype(jnp.float32)
+                                   - yf.astype(jnp.float32)))
+        d = float(np.asarray(check()))
+        assert d == 0.0, d
+        stamp("fold == base.reshape: exact")
 
     import jax
 
@@ -116,6 +129,7 @@ def main():
         return jax.jit(run)
 
     for name, fn in arms.items():
+        stamp(f"{name}: tracing/compiling...")
         lp = make_loop(fn)
         t0 = time.time()
         np.asarray(lp(0))

@@ -352,16 +352,38 @@ def feature_extractor(params: dict, audio: jax.Array,
     the end — valid because LN/bias/GELU are per-position and a real output
     row never reads a padded input row (s*t' + k - 1 < t_real for real t').
     GroupNorm normalizes over TIME, so group mode runs unpadded.
+
+    The pads are chained BACKWARD: each layer's t_out_pad is raised (in
+    8-steps) until the next layer's stride-fold view fits inside it, so the
+    inter-layer ``jnp.pad`` copies over GB-scale activations (~5 ms/batch
+    in the trace) become slices of already-computed garbage rows; the only
+    remaining pad lands on the [B, L, 1] raw audio (KBs).
     """
     align = 8 if cfg.feat_extract_norm == "layer" else 1
     t_real = audio.shape[1]
+    convs = params["feature_extractor"]["convs"]
+    t_pads: list[int | None] = [None] * len(convs)
+    if align > 1:
+        reals = []
+        t = t_real
+        for i in range(len(convs)):
+            t = (t - cfg.conv_kernel[i]) // cfg.conv_stride[i] + 1
+            reals.append(t)
+        need = 0  # rows the NEXT layer's fold view demands of this output
+        for i in reversed(range(len(convs))):
+            p = -(-max(reals[i], need) // align) * align
+            t_pads[i] = p
+            n_taps = -(-cfg.conv_kernel[i] // cfg.conv_stride[i])
+            need = (n_taps + p - 1) * cfg.conv_stride[i]
+        if need > audio.shape[1]:
+            audio = jnp.pad(audio, ((0, 0), (0, need - audio.shape[1])))
     x = audio[:, :, None].astype(compute_dtype)  # [B, L, 1]
-    for i, layer in enumerate(params["feature_extractor"]["convs"]):
+    for i, layer in enumerate(convs):
         w = layer["w"].astype(compute_dtype)
         k, s = cfg.conv_kernel[i], cfg.conv_stride[i]
         t_real = (t_real - k) // s + 1
-        t_pad = -(-t_real // align) * align if align > 1 else None
-        x = _strided_conv1d_as_matmul(x, w, s, compute_dtype, t_out_pad=t_pad)
+        x = _strided_conv1d_as_matmul(x, w, s, compute_dtype,
+                                      t_out_pad=t_pads[i])
         if "ln" in layer and "b" in layer:
             # one fused HBM pass for the whole conv epilogue (the unfused
             # chain costs 3 extra round-trips over [B, 64000, 512]-sized

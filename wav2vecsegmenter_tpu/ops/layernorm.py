@@ -198,11 +198,18 @@ def _bln_gelu_kernel(x_ref, cb_ref, scale_ref, bias_ref, o_ref, *, eps):
 
 
 def _bln_gelu_call(x2, cbias, scale, bias, eps, block_rows):
-    padded_rows, h = x2.shape
+    """Rows need NOT be a block_rows multiple: Mosaic masks the ragged
+    final block (out-of-bounds reads yield junk rows whose LN/GELU is
+    computed and then dropped on the out-of-bounds write — safe because
+    the kernel has no cross-row accumulation).  Verified correct on real
+    TPU by scripts/probe_uneven_small.py; this keeps the backward pad
+    chain in feature_extractor (arbitrary B*t_pad row counts) from
+    triggering a GB-scale jnp.pad here."""
+    rows, h = x2.shape
     return pl.pallas_call(
         functools.partial(_bln_gelu_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((padded_rows, h), x2.dtype),
-        grid=(padded_rows // block_rows,),
+        out_shape=jax.ShapeDtypeStruct((rows, h), x2.dtype),
+        grid=(-(-rows // block_rows),),
         in_specs=[
             pl.BlockSpec((block_rows, h), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -248,8 +255,5 @@ def bias_layer_norm_gelu(x: jax.Array, conv_bias: jax.Array,
     for d in orig_shape[:-1]:
         rows *= d
     x2 = x.reshape(rows, h)
-    padded_rows = ((rows + block_rows - 1) // block_rows) * block_rows
-    if padded_rows != rows:
-        x2 = jnp.pad(x2, ((0, padded_rows - rows), (0, 0)))
     out = _bln_gelu_2d(x2, conv_bias, scale, bias, eps, block_rows)
-    return out[:rows].reshape(orig_shape)
+    return out.reshape(orig_shape)
