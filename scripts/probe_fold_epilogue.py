@@ -18,6 +18,11 @@ Arms over [1024000, 512] bf16 (layer-0-output scale, the biggest epilogue):
   f32fold: f32 input + folded output (the full fusion candidate)
 
 Run: timeout 580 python scripts/probe_fold_epilogue.py
+
+RESULT (2026-08-17): the fold arms are PATHOLOGICAL — the in-kernel
+sublane->lane reshape hangs the Mosaic compiler server-side (a minimal
+rows=2560 call never compiled in 6+ min and wedged the axon backend for
+later processes).  Kept only as a record; do not re-run the fold arms.
 """
 
 import functools
