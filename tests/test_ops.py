@@ -329,3 +329,45 @@ def test_bias_ln_gelu_fused_matches_xla(rng):
     for a, b_ in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=3e-4, rtol=1e-3)
+
+
+def test_feature_extractor_pallas_ragged_epilogue_matches_xla():
+    """Conv stack with the PALLAS fused epilogue (interpret) vs the XLA
+    backend, at row counts the epilogue's 256-row block does NOT divide.
+
+    The backward pad chain (models/wav2vec2.feature_extractor) produces
+    per-layer row counts like B*t_pad with only 8-alignment guaranteed, and
+    bias_layer_norm_gelu runs a ragged grid over them (layernorm.py:
+    _bln_gelu_call) instead of padding — this pins the two together: same
+    real frames from either backend, garbage tail rows never leak.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from wav2vecsegmenter_tpu.models.wav2vec2 import (
+        Wav2Vec2Config, feature_extractor, init_wav2vec2_params)
+    from wav2vecsegmenter_tpu.ops import backend as backend_mod
+
+    cfg = Wav2Vec2Config(
+        hidden_size=64, num_layers=2, num_heads=4, ffn_dim=128,
+        conv_dim=(16,) * 7, conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+        conv_stride=(5, 2, 2, 2, 2, 2, 2),
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4)
+    params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(11)
+    # B=3 and an awkward length: every layer's B*t_pad is 8-aligned but not
+    # a 256 multiple, so the ragged final block fires at every layer
+    audio = jnp.asarray(rng.randn(3, 9313).astype(np.float32) * 0.1)
+
+    backend_mod.set_backend("xla")
+    try:
+        want = np.asarray(feature_extractor(params, audio, cfg, jnp.float32))
+        backend_mod.set_backend("pallas")
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                feature_extractor(params, audio, cfg, jnp.float32))
+    finally:
+        backend_mod.set_backend("auto")
+    assert not np.isnan(got).any()
+    np.testing.assert_allclose(got, want, atol=2e-5)
