@@ -331,6 +331,86 @@ def test_bias_ln_gelu_fused_matches_xla(rng):
                                    atol=3e-4, rtol=1e-3)
 
 
+def test_conv_bias_ln_gelu_kernel_matches_ref(rng):
+    """Whole-conv-layer fused kernel (tap GEMMs + bias + LN + GELU) vs its
+    XLA composition: 1-tap and 2-tap, ragged grids, cross-block halo rows,
+    and gradients (interpret mode)."""
+    from wav2vecsegmenter_tpu.ops.convfuse import _fused, _xla_ref
+
+    ck, o, eps = 32, 16, 1e-5
+    cases = [
+        (2, 40, 8),   # halo crosses every block boundary
+        (2, 37, 8),   # ragged final out block + halo
+        (1, 24, 8),   # single-tap (k == s layers)
+        (2, 16, 16),  # t_out % block == 0 but tf = t_out+1 needs extra block
+        (2, 5, 8),    # single partial block
+    ]
+    for n_taps, t_out, block_rows in cases:
+        tf = t_out + n_taps - 1
+        y = jnp.asarray(rng.randn(2, tf, ck).astype(np.float32))
+        w_taps = jnp.asarray(rng.randn(n_taps, ck, o).astype(np.float32)
+                             * 0.1)
+        cb = jnp.asarray(rng.randn(o).astype(np.float32) * 0.1)
+        scale = jnp.asarray(rng.randn(o).astype(np.float32))
+        bias = jnp.asarray(rng.randn(o).astype(np.float32))
+        want = _xla_ref(y, w_taps, cb, scale, bias, eps, t_out)
+        with pltpu.force_tpu_interpret_mode():
+            got = _fused(y, w_taps, cb, scale, bias, eps, t_out, block_rows)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5,
+                                   err_msg=str((n_taps, t_out, block_rows)))
+
+        def loss_fused(y, w, cb, s, b, t_out=t_out, block_rows=block_rows):
+            with pltpu.force_tpu_interpret_mode():
+                return (_fused(y, w, cb, s, b, eps, t_out,
+                               block_rows) ** 2).sum()
+
+        def loss_ref(y, w, cb, s, b, t_out=t_out):
+            return (_xla_ref(y, w, cb, s, b, eps, t_out) ** 2).sum()
+
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+            y, w_taps, cb, scale, bias)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+            y, w_taps, cb, scale, bias)
+        for a, b_ in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=3e-4, rtol=1e-3)
+
+
+def test_feature_extractor_fused_conv_layers_match_xla(monkeypatch):
+    """Conv stack routing its wide layers through the FUSED whole-layer
+    kernel (interpret) vs the XLA backend.  conv_dim=64 makes the mid
+    layers' folded depth s*C=128 > 64, so they take the conv_bias_ln_gelu
+    branch (models/wav2vec2.feature_extractor) — both the 2-tap (k=3,s=2)
+    and 1-tap (k=2,s=2) kernels fire, with the backward-chained t_out pads
+    making the grids ragged."""
+    monkeypatch.setenv("W2VSEG_CONVFUSE", "1")
+    from wav2vecsegmenter_tpu.models.wav2vec2 import (
+        Wav2Vec2Config, feature_extractor, init_wav2vec2_params)
+    from wav2vecsegmenter_tpu.ops import backend as backend_mod
+
+    cfg = Wav2Vec2Config(
+        hidden_size=64, num_layers=2, num_heads=4, ffn_dim=128,
+        conv_dim=(64,) * 7, conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+        conv_stride=(5, 2, 2, 2, 2, 2, 2),
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4)
+    params = init_wav2vec2_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(12)
+    audio = jnp.asarray(rng.randn(3, 9313).astype(np.float32) * 0.1)
+
+    backend_mod.set_backend("xla")
+    try:
+        want = np.asarray(feature_extractor(params, audio, cfg, jnp.float32))
+        backend_mod.set_backend("pallas")
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                feature_extractor(params, audio, cfg, jnp.float32))
+    finally:
+        backend_mod.set_backend("auto")
+    assert not np.isnan(got).any()
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_feature_extractor_pallas_ragged_epilogue_matches_xla():
     """Conv stack with the PALLAS fused epilogue (interpret) vs the XLA
     backend, at row counts the epilogue's 256-row block does NOT divide.

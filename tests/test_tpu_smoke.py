@@ -87,3 +87,33 @@ def test_kernels_lower_and_match_on_tpu():
         print("TPU_KERNEL_SMOKE_OK")
     """)
     assert "TPU_KERNEL_SMOKE_OK" in out
+
+
+def test_convfuse_kernel_lowers_and_matches_on_tpu():
+    """Whole-conv-layer fused kernel at the real 512-ch layer geometry
+    (CK=1024, O=512): pltpu.roll + the clamped halo index map + the ragged
+    out grid must survive real Mosaic lowering, not just interpret mode."""
+    out = _run_on_tpu("""
+        import numpy as np, jax, jax.numpy as jnp
+        assert jax.default_backend() == "tpu", jax.default_backend()
+        from wav2vecsegmenter_tpu.ops.convfuse import _fused, _xla_ref
+        rng = np.random.RandomState(1)
+        ck, o, eps = 1024, 512, 1e-5
+        for n_taps, t_out in ((2, 999), (1, 1000)):
+            tf = t_out + n_taps - 1
+            y = jax.device_put(
+                (rng.randn(2, tf, ck) * 0.1).astype(np.float32))
+            w = jax.device_put(
+                (rng.randn(n_taps, ck, o) * 0.03).astype(np.float32))
+            cb = jax.device_put((rng.randn(o) * 0.1).astype(np.float32))
+            s = jax.device_put(rng.randn(o).astype(np.float32))
+            b = jax.device_put(rng.randn(o).astype(np.float32))
+            want = np.asarray(_xla_ref(y, w, cb, s, b, eps, t_out))
+            got = np.asarray(jax.jit(
+                lambda y, w, cb, s, b: _fused(y, w, cb, s, b, eps, t_out,
+                                              512))(y, w, cb, s, b))
+            np.testing.assert_allclose(got, want, atol=5e-3,
+                                       err_msg=str((n_taps, t_out)))
+        print("TPU_CONVFUSE_SMOKE_OK")
+    """)
+    assert "TPU_CONVFUSE_SMOKE_OK" in out

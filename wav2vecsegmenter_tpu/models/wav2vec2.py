@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import attention
+from ..ops.convfuse import conv_bias_ln_gelu, convfuse_enabled
 from ..ops.layernorm import bias_layer_norm_gelu, layer_norm
 
 
@@ -342,6 +343,35 @@ def _strided_conv1d_as_matmul(x: jax.Array, w: jax.Array, stride: int,
     return acc.astype(compute_dtype)
 
 
+def _fold_for_taps(x: jax.Array, k: int, s: int, t_out: int,
+                   compute_dtype) -> jax.Array:
+    """Stride-fold [B, T, C] -> [B, n_taps + t_out - 1, s*C] (see
+    _strided_conv1d_as_matmul for the fold contract)."""
+    b, t, c = x.shape
+    n_taps = -(-k // s)
+    t_need = (n_taps + t_out - 1) * s
+    if t_need > t:
+        x = jnp.pad(x, ((0, 0), (0, t_need - t), (0, 0)))
+    elif t_need < t:
+        x = x[:, :t_need]
+    return x.reshape(b, n_taps + t_out - 1, s * c).astype(compute_dtype)
+
+
+def _tap_weights(w: jax.Array, s: int) -> jax.Array:
+    """[k, C, O] conv weight -> per-tap folded GEMM weights
+    [n_taps, s*C, O], zero rows where the kernel ends mid-stride."""
+    k, c, o = w.shape
+    n_taps = -(-k // s)
+    taps = []
+    for p in range(n_taps):
+        j_hi = min(s, k - p * s)
+        wt = w[p * s: p * s + j_hi].reshape(j_hi * c, o)
+        if j_hi < s:
+            wt = jnp.pad(wt, ((0, (s - j_hi) * c), (0, 0)))
+        taps.append(wt)
+    return jnp.stack(taps)
+
+
 def feature_extractor(params: dict, audio: jax.Array,
                       cfg: Wav2Vec2Config,
                       compute_dtype=jnp.float32) -> jax.Array:
@@ -382,12 +412,26 @@ def feature_extractor(params: dict, audio: jax.Array,
         w = layer["w"].astype(compute_dtype)
         k, s = cfg.conv_kernel[i], cfg.conv_stride[i]
         t_real = (t_real - k) // s + 1
+        ln_mode = "ln" in layer and "b" in layer
+        n_taps = -(-k // s)
+        if (ln_mode and s * x.shape[-1] > 64 and n_taps <= 2
+                and convfuse_enabled()):
+            # whole layer (tap GEMMs + bias + LN + GELU) in ONE kernel
+            # pass: one read of the folded input (tap 1 via an in-kernel
+            # halo) and one write of the activated output, vs ~3 reads +
+            # 2 writes as separate XLA ops over GB-scale activations
+            t_out = t_pads[i] if t_pads[i] is not None else t_real
+            y = _fold_for_taps(x, k, s, t_out, compute_dtype)
+            x = conv_bias_ln_gelu(
+                y, _tap_weights(w, s), layer["b"],
+                layer["ln"]["scale"], layer["ln"]["bias"], t_out,
+                cfg.layer_norm_eps)
+            continue
         x = _strided_conv1d_as_matmul(x, w, s, compute_dtype,
                                       t_out_pad=t_pads[i])
-        if "ln" in layer and "b" in layer:
-            # one fused HBM pass for the whole conv epilogue (the unfused
-            # chain costs 3 extra round-trips over [B, 64000, 512]-sized
-            # activations)
+        if ln_mode:
+            # one fused HBM pass for the conv epilogue (tiny-channel
+            # layers whose conv runs as the tap-concat single GEMM)
             x = bias_layer_norm_gelu(
                 x, layer["b"], layer["ln"]["scale"], layer["ln"]["bias"],
                 cfg.layer_norm_eps)

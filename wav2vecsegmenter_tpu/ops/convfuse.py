@@ -1,0 +1,186 @@
+"""Fused stride-folded conv + (bias -> LayerNorm -> GELU) epilogue.
+
+The wav2vec2 feature extractor's 512-channel layers each run as
+``n_taps`` plain GEMMs over shifted views of a stride-folded input
+(models/wav2vec2._strided_conv1d_as_matmul) followed by the fused
+epilogue kernel (ops/layernorm.bias_layer_norm_gelu).  As separate XLA
+ops over GB-scale activations that chain costs, per layer: one folded
+read per tap GEMM (2x for k=3/s=2), the f32->bf16 GEMM output write,
+and the epilogue's read+write.  This kernel does the whole layer in ONE
+pass: each grid cell loads a block of folded input rows (plus a 1-row
+halo for the second tap, fetched as a second ref of the same array with
+a +1-block index map), runs the tap dots on the MXU with f32
+accumulation, applies bias + LayerNorm + exact GELU on the VPU, and
+writes the bf16 output block — HBM traffic drops from ~3 reads + 2
+writes to 1 read + 1 write of the layer's activations.
+
+Only used for layers whose folded channel depth is MXU-deep (s*C >= 128
+— the 512-ch layers; the raw-audio layer keeps the tap-concat GEMM) and
+n_taps <= 2 (every wav2vec2 layer: k=3/s=2 -> 2, k=2/s=2 -> 1).
+
+The tap-1 shifted operand is built WITHOUT sublane-misaligned slicing
+(Mosaic relayouts) via ``pltpu.roll`` + a one-row iota select from the
+halo ref.  No reshapes cross the sublane/lane boundary in-kernel (that
+hangs the Mosaic compiler — see PERF.md negative results).
+
+Backward recomputes through the XLA composition (the feature extractor
+is frozen under the reference's fine-tuning recipes; the VJP exists for
+completeness, off the hot path).
+
+Reference behavior: HF Wav2Vec2LayerNormConvLayer (conv -> LN -> GELU),
+reference lib/models.py:322-368 consumes it via HF Wav2Vec2Model.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .backend import get_backend
+from .layernorm import _bln_gelu_xla, _erf_approx
+
+_EPS = 1e-5
+
+
+def convfuse_enabled() -> bool:
+    """Route the wide conv layers through the fused whole-layer kernel.
+
+    Off by default until the kernel's real-Mosaic lowering is verified on
+    this rig (interpret mode does not catch lowering failures, and a bad
+    program can wedge the axon compile server — see PERF.md).  Tests and
+    the TPU smoke set W2VSEG_CONVFUSE=1.
+    """
+    return os.environ.get("W2VSEG_CONVFUSE", "0") == "1"
+
+
+def _xla_ref(y, w_taps, cbias, scale, bias, eps, t_out):
+    """Unfused composition: tap GEMMs over shifted folded views, then
+    bias+LN+GELU.  Used as the CPU/GPU fallback and the VJP recompute."""
+    n_taps = w_taps.shape[0]
+    acc = None
+    for p in range(n_taps):
+        yp = jax.lax.slice_in_dim(y, p, p + t_out, 1, axis=1)
+        term = jax.lax.dot_general(
+            yp, w_taps[p], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = term if acc is None else acc + term
+    acc = acc.astype(y.dtype)
+    return _bln_gelu_xla(acc, cbias, scale, bias, eps)
+
+
+def _kernel_2tap(ya_ref, yb_ref, w0_ref, w1_ref, cb_ref, sc_ref, bi_ref,
+                 o_ref, *, eps: float, block_rows: int):
+    a = ya_ref[0]  # [bt, CK]
+    # tap-1 operand: rows shifted up by one, last row = halo (row 0 of the
+    # NEXT block, passed as a second ref of the same array).  roll+select
+    # keeps every VMEM access sublane-aligned.
+    rolled = pltpu.roll(a, block_rows - 1, 0)  # up by one (shift >= 0 only)
+    row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    shifted = jnp.where(row == block_rows - 1, yb_ref[0][0:1], rolled)
+    acc = jnp.dot(a, w0_ref[:], preferred_element_type=jnp.float32)
+    acc += jnp.dot(shifted, w1_ref[:], preferred_element_type=jnp.float32)
+    x = acc + cb_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    ynorm = (x - mean) * jax.lax.rsqrt(var + eps)
+    ynorm = ynorm * sc_ref[:] + bi_ref[:]
+    g = 0.5 * ynorm * (1.0 + _erf_approx(ynorm * (2.0 ** -0.5)))
+    o_ref[0] = g.astype(o_ref.dtype)
+
+
+def _kernel_1tap(ya_ref, w0_ref, cb_ref, sc_ref, bi_ref, o_ref, *,
+                 eps: float):
+    a = ya_ref[0]
+    acc = jnp.dot(a, w0_ref[:], preferred_element_type=jnp.float32)
+    x = acc + cb_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    ynorm = (x - mean) * jax.lax.rsqrt(var + eps)
+    ynorm = ynorm * sc_ref[:] + bi_ref[:]
+    g = 0.5 * ynorm * (1.0 + _erf_approx(ynorm * (2.0 ** -0.5)))
+    o_ref[0] = g.astype(o_ref.dtype)
+
+
+def _pallas_call(y, w_taps, cbias, scale, bias, eps, t_out, block_rows):
+    b, tf, ck = y.shape
+    n_taps, _, o = w_taps.shape
+    nb_out = -(-t_out // block_rows)  # ragged final block: junk rows are
+    # computed from junk reads and dropped on the out-of-bounds write
+    nb_in = -(-tf // block_rows)
+    vec = pl.BlockSpec((o,), lambda bb, i: (0,), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((ck, o), lambda bb, i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec((1, block_rows, ck), lambda bb, i: (bb, i, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, block_rows, o), lambda bb, i: (bb, i, 0),
+                            memory_space=pltpu.VMEM)
+    if n_taps == 2:
+        # halo ref: same array, +1 block (clamped at the edge; the clamped
+        # cell's row 0 is only consumed by junk output rows)
+        yb_spec = pl.BlockSpec(
+            (1, block_rows, ck),
+            lambda bb, i: (bb, jnp.minimum(i + 1, nb_in - 1), 0),
+            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_kernel_2tap, eps=eps, block_rows=block_rows),
+            out_shape=jax.ShapeDtypeStruct((b, t_out, o), y.dtype),
+            grid=(b, nb_out),
+            in_specs=[y_spec, yb_spec, w_spec, w_spec, vec, vec, vec],
+            out_specs=out_spec,
+        )(y, y, w_taps[0], w_taps[1], cbias, scale, bias)
+    assert n_taps == 1, n_taps
+    return pl.pallas_call(
+        functools.partial(_kernel_1tap, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, t_out, o), y.dtype),
+        grid=(b, nb_out),
+        in_specs=[y_spec, w_spec, vec, vec, vec],
+        out_specs=out_spec,
+    )(y, w_taps[0], cbias, scale, bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused(y, w_taps, cbias, scale, bias, eps, t_out, block_rows):
+    return _pallas_call(y, w_taps, cbias, scale, bias, eps, t_out,
+                        block_rows)
+
+
+def _fused_fwd(y, w_taps, cbias, scale, bias, eps, t_out, block_rows):
+    out = _pallas_call(y, w_taps, cbias, scale, bias, eps, t_out,
+                       block_rows)
+    return out, (y, w_taps, cbias, scale, bias)
+
+
+def _fused_bwd(eps, t_out, block_rows, res, g):
+    y, w_taps, cbias, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda yy, ww, cb, s, b: _xla_ref(yy, ww, cb, s, b, eps, t_out),
+        y, w_taps, cbias, scale, bias)
+    return vjp(g.astype(y.dtype))
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def conv_bias_ln_gelu(y: jax.Array, w_taps: jax.Array, cbias: jax.Array,
+                      scale: jax.Array, bias: jax.Array, t_out: int,
+                      eps: float = _EPS,
+                      block_rows: int = 512) -> jax.Array:
+    """One fused pass for a stride-folded conv layer + its LN epilogue.
+
+    ``y`` [B, Tf, CK]: stride-folded input (Tf >= t_out + n_taps - 1; rows
+    past the real frames may be garbage — LN/GELU are per-position and the
+    caller slices the tail).  ``w_taps`` [n_taps, CK, O]: per-tap weights,
+    zero-padded where the kernel extent ends mid-stride.  Returns
+    [B, t_out, O] in ``y.dtype``.
+    """
+    n_taps = w_taps.shape[0]
+    assert n_taps in (1, 2), n_taps
+    assert y.shape[1] >= t_out + n_taps - 1, (y.shape, t_out, n_taps)
+    if get_backend() != "pallas":
+        return _xla_ref(y, w_taps, cbias, scale, bias, eps, t_out)
+    return _fused(y, w_taps, cbias, scale, bias, eps, t_out, block_rows)
