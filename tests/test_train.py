@@ -197,6 +197,56 @@ def test_data_parallel_train_step_on_mesh(rng):
                                    rtol=5e-2, atol=1e-3)
 
 
+def test_tensor_parallel_train_step_on_mesh(rng):
+    """Train step on a 2-D (data=4, model=2) mesh with Megatron-style
+    tensor-parallel param/optimizer shardings matches single-device.
+
+    q/k/v and ffn.w1 shard their output dim over 'model', o and ffn.w2
+    their input dim (parallel/mesh.param_shardings); adam moments inherit
+    the param shardings via path-suffix matching (state_shardings)."""
+    from wav2vecsegmenter_tpu.parallel.mesh import (
+        make_mesh, param_shardings, state_shardings)
+
+    mesh = make_mesh(4, 2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    mask = model.trainable_mask(params)
+    opt = make_optimizer(1e-3, 100, 1, mask)
+    batch = _make_batch(rng, b=8, L=16000, t_out=50)
+
+    # sharding rules hit the transformer block leaves
+    p_sh = param_shardings(mesh, params)
+    assert "model" in str(p_sh["wav2vec"]["layers"]["attn"]["q"]["w"].spec)
+    assert "model" in str(p_sh["wav2vec"]["layers"]["ffn"]["w2"]["w"].spec)
+    assert str(p_sh["wav2vec"]["layers"]["ln1"]["scale"].spec) == \
+        "PartitionSpec()"
+
+    params2 = jax.tree.map(jnp.copy, params)
+    state1 = init_train_state(model, opt, jax.random.PRNGKey(1), params)
+    step1 = make_train_step(model, BCEWithLogitsLoss(None), "bce", 0, opt)
+    state1, m1 = step1(state1, batch, jax.random.PRNGKey(9))
+
+    state2 = init_train_state(model, opt, jax.random.PRNGKey(1), params2)
+    st_sh = state_shardings(mesh, state2)
+    state2 = jax.device_put(state2, st_sh)
+    # optimizer moments really are distributed (mu mirrors the param tree)
+    qw = state2.params["wav2vec"]["layers"]["attn"]["q"]["w"]
+    assert len(qw.sharding.device_set) == 8  # data-replicated, model-sharded
+    assert qw.addressable_shards[0].data.shape[-1] == qw.shape[-1] // 2
+    step_tp = make_train_step(model, BCEWithLogitsLoss(None), "bce", 0, opt,
+                              mesh=mesh, state_shardings=st_sh)
+    state2, mtp = step_tp(state2, batch, jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(mtp["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=1e-3)
+
+
 def test_multistep_on_mesh(rng):
     """K steps/call via lax.scan on the 8-device mesh (the TPU-default
     steps_per_call path) runs and matches sequential single steps.

@@ -141,6 +141,51 @@ def test_train_loop_multistep(corpus, tmp_path, monkeypatch):
     assert set(results) >= {"eval_f1", "eval_precision", "eval_recall"}
 
 
+def test_train_loop_tensor_parallel(corpus, tmp_path, monkeypatch):
+    """runtime.mesh.model=2: the loop builds the 2-D (data, model) mesh,
+    places params/moments with tensor-parallel shardings, forces the xla
+    kernel backend, and trains + evaluates end-to-end."""
+    ws, talks_tsv, segments_tsv = corpus
+    monkeypatch.chdir(tmp_path)
+
+    from wav2vecsegmenter_tpu.config import registry
+    from wav2vecsegmenter_tpu.ops import backend as backend_mod
+
+    import tests.helpers as helpers
+
+    helpers._tiny_builder_train_tp = lambda **kw: tiny_shas()
+    orig = registry._ALIASES["lib.models.SHAS"]
+    registry.register("lib.models.SHAS",
+                      "tests.helpers:_tiny_builder_train_tp")
+    try:
+        cfg = compose(CONF, "train", overrides=[
+            "exp_name=smoke_tp",
+            "batch_size=2",
+            "segment_length=4",
+            "max_epochs=1",
+            "update_freq=1",
+            "print_every_steps=4",
+            "save_every_steps=999999",
+            "learning_rate=1e-4",
+            f"data.train.talk_list={talks_tsv}",
+            f"data.train.segments_list={segments_tsv}",
+            f"data.eval.talk_list={talks_tsv}",
+            f"data.eval.segments_list={segments_tsv}",
+            "runtime.kernels=xla",
+            "runtime.compute_dtype=float32",
+            "runtime.mesh.data=2",
+            "runtime.mesh.model=2",
+        ])
+        from wav2vecsegmenter_tpu.train.loop import train
+
+        results = train(cfg, work_dir=tmp_path)
+    finally:
+        registry._ALIASES["lib.models.SHAS"] = orig
+        backend_mod.set_backend("auto")  # train() forced xla for TP
+
+    assert set(results) >= {"eval_f1", "eval_precision", "eval_recall"}
+
+
 def test_evaluate_multipass(corpus):
     """evaluate() with inference_times=2: multi-grid averaging path."""
     import jax

@@ -1,12 +1,26 @@
 """Device mesh and sharding helpers.
 
 The reference scales with single-host ``nn.DataParallel``
-(train.py:312-315); the TPU-native equivalent is a 1-D data-parallel
-``jax.sharding.Mesh`` over chips: batches are sharded on the 'data' axis,
-params are replicated, and XLA inserts the gradient all-reduce (psum over
-ICI) inside the jitted train step.  The helpers here also back the
-multi-chip dry-run path (__graft_entry__.dryrun_multichip) and CPU tests
-with ``--xla_force_host_platform_device_count``.
+(train.py:312-315); the TPU-native equivalent is a ``jax.sharding.Mesh``
+over chips with XLA-inserted collectives riding ICI:
+
+* **data axis** — batches sharded, gradients all-reduced (psum) inside the
+  jitted train step.  This is the production configuration for the 300 M
+  param segmenter models.
+* **model axis** (optional, ``runtime.mesh.model``) — Megatron-style tensor
+  parallelism over the transformer's heads/FFN dims: q/k/v and ffn.w1
+  weights are sharded on their OUTPUT dim, o and ffn.w2 on their INPUT dim,
+  so each device computes a head/FFN slice and XLA inserts one
+  reduce-scatter/all-reduce per block boundary.  Optimizer moments inherit
+  the param shardings (see ``state_shardings``), cutting per-device
+  optimizer memory by the model-axis size.  Tensor parallelism requires the
+  XLA ops path (``kernels: xla``) — Pallas kernels are opaque to GSPMD and
+  cannot be auto-partitioned over sharded operands; callers that enable
+  ``model > 1`` must (and do — train/loop.py) force the xla backend.
+
+The helpers here also back the multi-chip dry-run path
+(__graft_entry__.dryrun_multichip) and CPU tests with
+``--xla_force_host_platform_device_count``.
 """
 
 from __future__ import annotations
@@ -16,14 +30,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_data: int = -1, devices=None) -> Mesh:
-    """1-D data-parallel mesh; n_data=-1 uses all available devices."""
+def make_mesh(n_data: int = -1, n_model: int = 1, devices=None) -> Mesh:
+    """(data, model) mesh; n_data=-1 uses all devices left after n_model."""
     if devices is None:
         devices = jax.devices()
+    n_model = max(1, int(n_model or 1))
     if n_data in (-1, None):
-        n_data = len(devices)
-    devices = np.array(devices[:n_data])
-    return Mesh(devices, axis_names=("data",))
+        n_data = len(devices) // n_model
+    use = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(use, axis_names=("data", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -32,6 +47,94 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def _path_keys(path) -> tuple:
+    out = []
+    for p in path:
+        if hasattr(p, "key"):
+            out.append(str(p.key))
+        elif hasattr(p, "name"):
+            out.append(str(p.name))
+        elif hasattr(p, "idx"):
+            out.append(str(p.idx))
+        else:
+            out.append(str(p))
+    return tuple(out)
+
+
+def _tp_spec(keys: tuple, ndim: int) -> P:
+    """Tensor-parallel PartitionSpec for one param leaf (path → rule).
+
+    Column-parallel (shard OUTPUT dim): attn q/k/v, ffn.w1, adapter.down —
+    weights AND biases.  Row-parallel (shard INPUT dim, bias replicated):
+    attn.o, ffn.w2, adapter.up.  Everything else replicated.  Leaves may
+    carry a leading stacked-layer [L] dim (ndim 3 vs 2 / 2 vs 1)."""
+    if len(keys) < 2:
+        return P()
+    mod, leaf = keys[-2], keys[-1]
+    col = mod in ("q", "k", "v", "w1", "down")
+    row = mod in ("o", "w2", "up")
+    if not (col or row) or leaf not in ("w", "b"):
+        return P()
+    if leaf == "w" and ndim >= 2:
+        ax = ndim - 1 if col else ndim - 2
+        spec = [None] * ndim
+        spec[ax] = "model"
+        return P(*spec)
+    if leaf == "b" and col and ndim >= 1:
+        spec = [None] * (ndim - 1) + ["model"]
+        return P(*spec)
+    return P()
+
+
+def param_shardings(mesh: Mesh, params):
+    """NamedSharding tree for a model param tree: tensor-parallel specs on
+    the transformer block weights when the mesh has a model axis, replicated
+    otherwise.  Dims not divisible by the model-axis size fall back to
+    replicated (GSPMD would pad; not worth it for odd heads)."""
+    n_model = mesh.shape.get("model", 1)
+
+    def one(path, leaf):
+        if n_model <= 1:
+            return replicated(mesh)
+        spec = _tp_spec(_path_keys(path), getattr(leaf, "ndim", 0))
+        for ax, name in enumerate(spec):
+            if name == "model" and leaf.shape[ax] % n_model != 0:
+                return replicated(mesh)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def state_shardings(mesh: Mesh, state, params=None):
+    """Sharding tree for a TrainState (or any pytree embedding the param
+    tree): param leaves get ``param_shardings``; optimizer-state leaves
+    whose path SUFFIX and shape match a param leaf (adam mu/nu, MultiSteps
+    accumulators mirror the param tree) inherit that param's sharding;
+    everything else (counts, schedules) is replicated."""
+    if params is None:
+        params = state.params
+    p_sh = param_shardings(mesh, params)
+    flat_p = {
+        _path_keys(path): (leaf.shape, sh)
+        for (path, leaf), (_, sh) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(p_sh)[0])
+    }
+    max_len = max((len(k) for k in flat_p), default=0)
+    rep = replicated(mesh)
+
+    def one(path, leaf):
+        keys = _path_keys(path)
+        shape = getattr(leaf, "shape", ())
+        for n in range(min(len(keys), max_len), 0, -1):
+            hit = flat_p.get(keys[-n:])
+            if hit is not None:
+                return hit[1] if hit[0] == shape else rep
+        return rep
+
+    return jax.tree_util.tree_map_with_path(one, state)
 
 
 def shard_batch_arrays(mesh: Mesh, *arrays):

@@ -177,8 +177,17 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
         "steps_per_call", 8 if jax.default_backend() == "tpu" else 1))
     mesh_conf = rt.get("mesh") or {}
     n_data = int(mesh_conf.get("data", -1) or -1)
-    n_devices = len(jax.devices()) if n_data == -1 else n_data
-    mesh = make_mesh(n_data) if n_devices > 1 else None
+    n_model = int(mesh_conf.get("model", 1) or 1)
+    if n_data == -1:
+        n_data = len(jax.devices()) // n_model
+    n_devices = n_data  # batch replication factor = data axis only
+    mesh = make_mesh(n_data, n_model) if n_data * n_model > 1 else None
+    if mesh is not None and n_model > 1:
+        # tensor parallelism partitions the transformer GEMMs via GSPMD;
+        # Pallas kernels are opaque to the partitioner (parallel/mesh.py)
+        from ..ops.backend import set_backend
+
+        set_backend("xla")
 
     # effective batch = batch_size * n_devices (reference train.py:245)
     effective_batch_size = int(config.batch_size) * max(1, n_devices)
@@ -288,6 +297,15 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
             best_metric, best_score,
         )
 
+    # tensor parallelism: place params + optimizer moments sharded over the
+    # 'model' axis before the first jitted call (parallel/mesh.py)
+    state_sh = None
+    if mesh is not None and n_model > 1:
+        from ..parallel.mesh import state_shardings
+
+        state_sh = state_shardings(mesh, state)
+        state = jax.device_put(state, state_sh)
+
     def save_ckpt(name: str, results: dict | None):
         nonlocal best_score, best_checkpoint
         if not config.get("save_ckpts", True):
@@ -358,6 +376,7 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                 autoregression=autoregression,
                 device_normalize=device_normalize,
                 dynamic_pos_weight=dynamic_pos_weight,
+                state_shardings=state_sh,
             )
             multi_step = None
             if steps_per_call > 1:
@@ -369,6 +388,7 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                     mesh=mesh, autoregression=autoregression,
                     device_normalize=device_normalize,
                     dynamic_pos_weight=dynamic_pos_weight,
+                    state_shardings=state_sh,
                 )
 
         steps_in_epoch = len(train_loader)

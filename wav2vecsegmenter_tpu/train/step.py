@@ -91,14 +91,19 @@ def make_train_step(model, loss_fn, loss_tag: str, ma_window_steps: int,
                     optimizer, compute_dtype=jnp.float32, vocab=None,
                     mesh=None, autoregression: bool = False,
                     device_normalize: bool = False,
-                    dynamic_pos_weight: bool = False):
+                    dynamic_pos_weight: bool = False,
+                    state_shardings=None):
     """Returns jitted (state, batch_dict, rng) -> (state, metrics).
 
     With ``dynamic_pos_weight`` the batch dict carries a ``pos_weight``
     scalar operand and the BCE loss is rebuilt per call from it — the
     reference re-derives pos_weight from each epoch's regenerated random
     dataset (train.py:352-374); baking it into the jit closure would freeze
-    the epoch-0 value for the whole run."""
+    the epoch-0 value for the whole run.
+
+    ``state_shardings`` (a TrainState-shaped sharding tree from
+    parallel.mesh.state_shardings) overrides the default replicated-params
+    placement — used for tensor parallelism over the mesh's 'model' axis."""
 
     def normalize_audio(batch):
         # raw int16 upload + reference-exact normalization on device
@@ -181,7 +186,8 @@ def make_train_step(model, loss_fn, loss_tag: str, ma_window_steps: int,
     if mesh is not None:
         data_sh = batch_sharding(mesh)
         rep = replicated(mesh)
-        state_sh = TrainState(rep, rep, rep)
+        state_sh = (TrainState(rep, rep, rep) if state_shardings is None
+                    else state_shardings)
         batch_shardings = {
             "audio": data_sh, "in_lengths": data_sh, "target": data_sh,
             "out_mask": data_sh,
@@ -210,7 +216,8 @@ def make_train_multistep(model, loss_fn, loss_tag: str, ma_window_steps: int,
                          optimizer, n_steps: int, compute_dtype=jnp.float32,
                          vocab=None, mesh=None, autoregression: bool = False,
                          device_normalize: bool = False,
-                         dynamic_pos_weight: bool = False):
+                         dynamic_pos_weight: bool = False,
+                         state_shardings=None):
     """K train steps inside one jit via lax.scan.
 
     Amortizes per-call overhead (dispatch, and on remote-execution runtimes
@@ -252,7 +259,8 @@ def make_train_multistep(model, loss_fn, loss_tag: str, ma_window_steps: int,
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         rep = replicated(mesh)
-        state_sh = TrainState(rep, rep, rep)
+        state_sh = (TrainState(rep, rep, rep) if state_shardings is None
+                    else state_shardings)
         # metrics: losses are [K] (replicated); logits stack to [K, B, ...]
         # with the batch on axis 1 — shard that axis like the inputs
         logits_sh = NamedSharding(mesh, P(None, "data"))
