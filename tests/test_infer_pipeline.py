@@ -55,6 +55,16 @@ def test_infer_talk_mesh_matches_single():
     np.testing.assert_allclose(p1, p8, atol=1e-5)
 
 
+def test_infer_talk_tensor_parallel_matches_single():
+    """Inference on a (data=2, model=2) mesh with tensor-parallel params
+    (WindowInference places them via param_shardings) matches
+    single-device."""
+    mesh = make_mesh(2, 2)
+    p1 = _run_inference(mesh=None, batch_size=4)
+    ptp = _run_inference(mesh=mesh, batch_size=4)
+    np.testing.assert_allclose(p1, ptp, atol=1e-5)
+
+
 def test_empty_window_probs_zero():
     model = tiny_shas()
     params = model.init(jax.random.PRNGKey(0))

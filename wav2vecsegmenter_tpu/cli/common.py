@@ -150,8 +150,17 @@ def segment_wavs(
     rt = config.get("runtime") or {}
     mesh_conf = rt.get("mesh") or {}
     n_data = int(mesh_conf.get("data", -1) or -1)
-    n_devices = len(jax.devices()) if n_data == -1 else n_data
-    mesh = make_mesh(n_data) if n_devices > 1 else None
+    n_model = int(mesh_conf.get("model", 1) or 1)
+    if n_data == -1:
+        n_data = len(jax.devices()) // n_model
+    n_devices = n_data  # windows shard over the data axis only
+    mesh = make_mesh(n_data, n_model) if n_data * n_model > 1 else None
+    if mesh is not None and n_model > 1:
+        # tensor-parallel inference partitions the GEMMs via GSPMD; Pallas
+        # kernels are opaque to the partitioner (parallel/mesh.py)
+        from ..ops.backend import set_backend
+
+        set_backend("xla")
     batch_size = int(config.batch_size)
     if mesh is not None:
         padded = pad_batch_to_devices(batch_size, n_devices)

@@ -23,10 +23,13 @@ from ..data.collate import Batch
 class WindowInference:
     """Holds jitted forward functions keyed by batch shape.
 
-    With a ``mesh``, windows are sharded over the 'data' axis (params
-    replicated) — the multi-chip inference path; the batch size must be a
-    multiple of the mesh size (loaders pad every batch to the static batch
-    size, so this is a config choice, not a data property)."""
+    With a ``mesh``, windows are sharded over the 'data' axis — the
+    multi-chip inference path; the batch size must be a multiple of the
+    data-axis size (loaders pad every batch to the static batch size, so
+    this is a config choice, not a data property).  Params are replicated,
+    or tensor-parallel over a 'model' axis when the mesh has one
+    (parallel/mesh.param_shardings; requires the xla kernel path — see
+    cli/common.segment_wavs)."""
 
     def __init__(self, model, params, loss_tag: str = "bce",
                  compute_dtype=jnp.float32, vocab=None,
@@ -39,6 +42,14 @@ class WindowInference:
         self.mesh = mesh
         self.loss_fn = loss_fn  # optional: per-batch eval loss (bce only)
         self._jitted: dict = {}
+        self._param_sh = None
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            import jax
+
+            from ..parallel.mesh import param_shardings
+
+            self._param_sh = param_shardings(mesh, params)
+            self.params = jax.device_put(params, self._param_sh)
 
     def _make_forward(self, device_normalize: bool = False):
         model = self.model
@@ -96,15 +107,16 @@ class WindowInference:
 
             data_sh = batch_sharding(self.mesh)
             rep = replicated(self.mesh)
+            p_sh = self._param_sh if self._param_sh is not None else rep
             if device_normalize:
                 return jax.jit(
                     forward,
-                    in_shardings=(rep, data_sh, data_sh, data_sh, rep, data_sh),
+                    in_shardings=(p_sh, data_sh, data_sh, data_sh, rep, data_sh),
                     out_shardings=(data_sh, data_sh),
                 )
             return jax.jit(
                 forward,
-                in_shardings=(rep, data_sh, data_sh, data_sh),
+                in_shardings=(p_sh, data_sh, data_sh, data_sh),
                 out_shardings=(data_sh, data_sh),
             )
         return jax.jit(forward)
