@@ -237,8 +237,8 @@ def main() -> None:
             wav_paths.append(wav_path)
             total_secs += secs
 
-        def run_once():
-            return segment_wavs(sweep_cfg, model, params, None, wav_paths,
+        def run_once(paths=wav_paths):
+            return segment_wavs(sweep_cfg, model, params, None, paths,
                                 compute_dtype, engine=engine)
 
         run_once()  # warmup: compile both shape buckets + ladder shapes
@@ -254,6 +254,19 @@ def main() -> None:
             walls.append(time.perf_counter() - t0)
         wall = min(walls)
 
+        # companion number: single 300 s talk, single pass (the steady-state
+        # per-talk rate with no cross-talk tail or multi-pass re-dispatch) —
+        # recorded alongside the honest sweep headline
+        saved_times = sweep_cfg["inference_times"]
+        sweep_cfg["inference_times"] = 1
+        single_walls = []
+        for _ in range(max(3, n_passes // 2)):
+            t0 = time.perf_counter()
+            run_once([wav_paths[2]])
+            single_walls.append(time.perf_counter() - t0)
+        sweep_cfg["inference_times"] = saved_times
+        single_xrt = talk_specs[2] / min(single_walls)
+
     xrt = total_secs / wall
     target = 50.0
     print(json.dumps({
@@ -261,6 +274,7 @@ def main() -> None:
         "value": round(xrt, 2),
         "unit": "audio-sec/sec (x realtime, 3-talk sweep x2 passes)",
         "vs_baseline": round(xrt / target, 3),
+        "single_talk_xrt_1pass": round(single_xrt, 2),
     }))
     print(f"# talks={talk_specs} passes/talk={inference_times} "
           f"walls={['%.2f' % w for w in walls]} "
