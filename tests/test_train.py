@@ -302,6 +302,59 @@ def test_multistep_on_mesh(rng):
                                    rtol=5e-2, atol=5e-3)
 
 
+def test_multistep_tensor_parallel_on_mesh(rng):
+    """K-step lax.scan with tensor-parallel state shardings on a
+    (data=4, model=2) mesh: the scan carry keeps the Megatron shardings and
+    losses match the sequential single-step oracle."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wav2vecsegmenter_tpu.parallel.mesh import make_mesh, state_shardings
+    from wav2vecsegmenter_tpu.train.step import make_train_multistep
+
+    mesh = make_mesh(4, 2)
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    mask = model.trainable_mask(params)
+    opt = make_optimizer(1e-3, 100, 1, mask)
+    K = 2
+
+    b1 = _make_batch(rng, b=8, L=16000, t_out=50)
+    b2 = _make_batch(rng, b=8, L=16000, t_out=50)
+
+    params2 = jax.tree.map(jnp.copy, params)
+    state1 = init_train_state(model, opt, jax.random.PRNGKey(1), params)
+    step1 = make_train_step(model, BCEWithLogitsLoss(None), "bce", 0, opt)
+    keys = jax.random.split(jax.random.PRNGKey(9), K)
+    ref_losses = []
+    for b, k in zip((b1, b2), keys):
+        state1, m = step1(state1, b, k)
+        ref_losses.append(float(m["loss"]))
+
+    state2 = init_train_state(model, opt, jax.random.PRNGKey(1), params2)
+    st_sh = state_shardings(mesh, state2)
+    state2 = jax.device_put(state2, st_sh)
+    multi = make_train_multistep(model, BCEWithLogitsLoss(None), "bce", 0,
+                                 opt, n_steps=K, mesh=mesh,
+                                 state_shardings=st_sh)
+    stk = NamedSharding(mesh, P(None, "data"))
+    stacked = {
+        k: jax.device_put(np.stack([np.asarray(b1[k]), np.asarray(b2[k])]),
+                          stk)
+        for k in b1
+    }
+    state2, m = multi(state2, stacked, jax.random.PRNGKey(9))
+    losses = np.asarray(m["loss"])
+    assert losses.shape == (K,) and np.isfinite(losses).all()
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-4)
+    # params stay model-sharded after the scan
+    qw = state2.params["wav2vec"]["layers"]["attn"]["q"]["w"]
+    assert qw.addressable_shards[0].data.shape[-1] == qw.shape[-1] // 2
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)
+
+
 def test_gradient_accumulation_multisteps(rng):
     model = tiny_shas()
     params = model.init(jax.random.PRNGKey(0))
