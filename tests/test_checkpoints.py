@@ -100,6 +100,26 @@ def test_orbax_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_orbax_headonly_restore(tmp_path):
+    """The train loop saves seg-only Orbax epoch ckpts when the backbone is
+    frozen (train/loop.py save_ckpt, reference train.py:596-613);
+    load_model_checkpoint must complete the tree like the .pt path does."""
+    model = _tiny_spec()
+    params = model.init(jax.random.PRNGKey(3))
+    save_orbax(tmp_path / "epoch-0", {"seg": params["seg"]})
+
+    loaded = load_model_checkpoint(
+        model, tmp_path / "epoch-0", allow_random_wav2vec=True)
+    assert "wav2vec" in loaded and "seg" in loaded
+    for a, b in zip(jax.tree.leaves(params["seg"]),
+                    jax.tree.leaves(loaded["seg"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(FileNotFoundError):
+        load_model_checkpoint(
+            model, tmp_path / "epoch-0", allow_random_wav2vec=False)
+
+
 def test_torch_export_roundtrip(tmp_path):
     """params -> .pt (reference layout) -> params: identical leaves."""
     from wav2vecsegmenter_tpu.checkpoints.torch_export import (

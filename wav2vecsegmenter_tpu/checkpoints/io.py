@@ -67,15 +67,44 @@ def load_wav2vec2_pretrained(model_name: str, cfg: Wav2Vec2Config,
 def load_model_checkpoint(model, ckpt_path: str | Path,
                           allow_random_wav2vec: bool = False) -> dict:
     """Load params for ``model`` (a SHAS-family spec) from either a torch .pt
-    (reference format, both layouts) or an Orbax directory."""
+    (reference format, both layouts) or an Orbax directory.
+
+    Both sources come in two layouts (reference train.py:596-613): the FULL
+    model state when the backbone was fine-tuned, or the seg head only when
+    it was frozen — our train loop mirrors that for its Orbax epoch ckpts
+    (train/loop.py save_ckpt), so the head-only completion (backbone weights
+    re-loaded from the pretrained source) applies to both formats."""
     ckpt_path = Path(ckpt_path)
     if ckpt_path.is_dir():  # orbax
-        return restore_orbax(ckpt_path, model)
+        template = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
+        on_disk = set(_orbax_top_keys(ckpt_path))
+        if on_disk >= set(template.keys()):
+            return restore_orbax(ckpt_path, template=template)
+        sub = {k: v for k, v in template.items() if k in on_disk}
+        params = restore_orbax(ckpt_path, template=sub)
+        return _complete_headonly_params(params, model, allow_random_wav2vec)
 
     sd = load_torch_state_dict(ckpt_path)
     if is_full_layout(sd):
         return convert_reference_checkpoint(sd, model)
     params = convert_reference_checkpoint(sd, model)  # {'seg': ...}
+    return _complete_headonly_params(params, model, allow_random_wav2vec)
+
+
+def _orbax_top_keys(path: Path) -> list:
+    """Top-level keys of the pytree stored in an Orbax directory."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        md = ckptr.metadata(Path(path).absolute())
+    return list(md.item_metadata.tree.keys())
+
+
+def _complete_headonly_params(params: dict, model,
+                              allow_random_wav2vec: bool) -> dict:
+    """Fill a head-only checkpoint ({'seg': ...}) up to the full param tree
+    from the pretrained wav2vec2 source (reference inference.py loads the
+    backbone from HF when the ckpt only carries the classifier)."""
     is_ssl = hasattr(model, "ctc_vocab_size")
     snap = _hf_local_snapshot(model.wav2vec_model_name)
     if is_ssl and snap is not None:
@@ -86,10 +115,11 @@ def load_model_checkpoint(model, ckpt_path: str | Path,
         sd_hf = _load_hf_state_dict(snap)
         params.update(convert_hf_for_ctc(sd_hf, model.w2v_cfg))
     else:
-        params["wav2vec"] = load_wav2vec2_pretrained(
-            model.wav2vec_model_name, model.w2v_cfg,
-            allow_random=allow_random_wav2vec,
-        )
+        if "wav2vec" not in params:
+            params["wav2vec"] = load_wav2vec2_pretrained(
+                model.wav2vec_model_name, model.w2v_cfg,
+                allow_random=allow_random_wav2vec,
+            )
         if is_ssl:
             # no pretrained source: random final_ln/lm_head to complete the
             # tree (allow_random path)
