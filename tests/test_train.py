@@ -410,3 +410,75 @@ def test_train_step_device_normalize_matches_host(rng):
     l_host = run(False)
     l_dev = run(True)
     assert l_dev == pytest.approx(l_host, rel=1e-5)
+
+
+def test_resolve_mesh_validates_axis_sizes():
+    """An unsatisfiable runtime.mesh must error, never silently fall back
+    to replicated execution (the TP memory savings would vanish and the
+    run would OOM with no hint why)."""
+    from wav2vecsegmenter_tpu.parallel.mesh import resolve_mesh
+
+    n = len(jax.devices())
+
+    mesh, n_data, n_model = resolve_mesh(None)
+    assert n_data == n and n_model == 1
+    assert (mesh is None) == (n == 1)
+
+    mesh, n_data, n_model = resolve_mesh({"data": 1, "model": 1})
+    assert mesh is None and n_data == 1
+
+    with pytest.raises(ValueError, match="exceeds"):
+        resolve_mesh({"model": n + 1})
+    with pytest.raises(ValueError, match="available"):
+        resolve_mesh({"data": n, "model": 2})
+    with pytest.raises(ValueError, match="invalid"):
+        resolve_mesh({"data": 0})
+
+    if n >= 2:
+        mesh, n_data, n_model = resolve_mesh({"data": -1, "model": 2})
+        assert n_data == n // 2 and n_model == 2
+        assert dict(mesh.shape) == {"data": n // 2, "model": 2}
+
+
+def test_autoreg_step_with_dynamic_pos_weight_on_mesh(rng):
+    """The train loop injects batch['pos_weight'] for ANY bce-tag loss,
+    including on an autoregression task; the mesh in_shardings dict must
+    keep the key after the autoregression overwrite (ordering trap)."""
+    from wav2vecsegmenter_tpu.data.collate import collate_autoreg
+    from wav2vecsegmenter_tpu.data.vocab import BaseVocabulary
+    from wav2vecsegmenter_tpu.parallel.mesh import make_mesh
+    from wav2vecsegmenter_tpu.train.loss import CrossEntropyLoss
+    from wav2vecsegmenter_tpu.train.step import init_train_state
+
+    from .test_autoreg import tiny_autoreg
+
+    vocab = BaseVocabulary()
+    model = tiny_autoreg()
+    params = model.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(1e-3, 50, 1, model.trainable_mask(params))
+    state = init_train_state(model, opt, jax.random.PRNGKey(1), params)
+    loss_fn = CrossEntropyLoss(ignore_index=vocab.pad_token_id)
+    mesh = make_mesh(8)
+    step = make_train_step(model, loss_fn, "ce", 0, opt, vocab=vocab,
+                           autoregression=True, mesh=mesh,
+                           dynamic_pos_weight=True)
+
+    examples = []
+    for i in range(8):
+        wav = rng.randn(16000).astype(np.float32) * 0.1
+        tgt = np.zeros(48, np.float32)
+        tgt[:24] = 1.0
+        examples.append((wav, tgt, i * 50, i * 50 + 48))
+    b = collate_autoreg(examples, 8, 16000, 50,
+                        vocab.pad_token_id, vocab.sep_token_id)
+    batch = {
+        "audio": jnp.asarray(b.audio),
+        "in_lengths": jnp.asarray(b.in_lengths),
+        "in_target": jnp.asarray(b.in_target),
+        "out_target": jnp.asarray(b.out_target),
+        "src_mask": jnp.asarray(b.src_mask),
+        "tgt_mask": jnp.asarray(b.tgt_mask),
+        "pos_weight": jnp.asarray(0.8, jnp.float32),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))

@@ -145,16 +145,11 @@ def segment_wavs(
     import jax
     from tqdm import tqdm
 
-    from ..parallel.mesh import make_mesh, pad_batch_to_devices
+    from ..parallel.mesh import pad_batch_to_devices, resolve_mesh
 
     rt = config.get("runtime") or {}
-    mesh_conf = rt.get("mesh") or {}
-    n_data = int(mesh_conf.get("data", -1) or -1)
-    n_model = int(mesh_conf.get("model", 1) or 1)
-    if n_data == -1:
-        n_data = len(jax.devices()) // n_model
+    mesh, n_data, n_model = resolve_mesh(rt.get("mesh"))
     n_devices = n_data  # windows shard over the data axis only
-    mesh = make_mesh(n_data, n_model) if n_data * n_model > 1 else None
     if mesh is not None and n_model > 1:
         # tensor-parallel inference partitions the GEMMs via GSPMD; Pallas
         # kernels are opaque to the partitioner (parallel/mesh.py)

@@ -41,6 +41,38 @@ def make_mesh(n_data: int = -1, n_model: int = 1, devices=None) -> Mesh:
     return Mesh(use, axis_names=("data", "model"))
 
 
+def resolve_mesh(mesh_conf, devices=None):
+    """Validate a ``runtime.mesh`` config block and build the mesh.
+
+    Returns ``(mesh_or_None, n_data, n_model)``.  A requested axis that
+    cannot be satisfied by the available devices is an error, never a
+    silent fallback to replicated execution: a model that only fits
+    sharded would otherwise OOM with no hint why (and ``set_backend('xla')``
+    for tensor parallelism would silently not happen)."""
+    if devices is None:
+        devices = jax.devices()
+    conf = mesh_conf or {}
+    raw_data, raw_model = conf.get("data", -1), conf.get("model", 1)
+    n_data = -1 if raw_data is None else int(raw_data)
+    n_model = 1 if raw_model is None else int(raw_model)
+    if n_model < 1 or n_data < -1 or n_data == 0:
+        raise ValueError(
+            f"runtime.mesh: invalid axis sizes data={n_data} model={n_model}")
+    if n_model > len(devices):
+        raise ValueError(
+            f"runtime.mesh.model={n_model} exceeds the {len(devices)} "
+            f"available device(s)")
+    if n_data == -1:
+        n_data = len(devices) // n_model
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"runtime.mesh: data={n_data} x model={n_model} = "
+            f"{n_data * n_model} devices requested but only "
+            f"{len(devices)} available")
+    mesh = make_mesh(n_data, n_model, devices) if n_data * n_model > 1 else None
+    return mesh, n_data, n_model
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

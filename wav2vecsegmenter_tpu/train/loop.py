@@ -25,7 +25,7 @@ from ..checkpoints.io import restore_orbax, save_orbax
 from ..config import Config, instantiate, merge, to_plain
 from ..eval.metrics import evaluate, train_step_metrics
 from ..infer.pipeline import WindowInference
-from ..parallel.mesh import make_mesh
+from ..parallel.mesh import resolve_mesh
 from .loss import build_loss
 from .step import init_train_state, make_optimizer, make_train_step
 
@@ -175,13 +175,8 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
     # trip overhead; 1 disables grouping
     steps_per_call = int(rt.get(
         "steps_per_call", 8 if jax.default_backend() == "tpu" else 1))
-    mesh_conf = rt.get("mesh") or {}
-    n_data = int(mesh_conf.get("data", -1) or -1)
-    n_model = int(mesh_conf.get("model", 1) or 1)
-    if n_data == -1:
-        n_data = len(jax.devices()) // n_model
+    mesh, n_data, n_model = resolve_mesh(rt.get("mesh"))
     n_devices = n_data  # batch replication factor = data axis only
-    mesh = make_mesh(n_data, n_model) if n_data * n_model > 1 else None
     if mesh is not None and n_model > 1:
         # tensor parallelism partitions the transformer GEMMs via GSPMD;
         # Pallas kernels are opaque to the partitioner (parallel/mesh.py)
@@ -338,6 +333,11 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
     global_step = resume_global_step
     results: dict = {}
     profile_steps = int(rt.get("profile_steps", 0) or 0)
+    # Profile the first profile_steps steps taken by THIS process (works on
+    # resumed runs too, where global_step starts non-zero); the paired flag
+    # guarantees stop_trace is only called after our own start_trace.
+    trace_stop_at = resume_global_step + profile_steps
+    trace_started = False
 
     for epoch in range(start_epoch, int(config.max_epochs)):
         logger.info("Starting epoch %d ...", epoch)
@@ -496,8 +496,9 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
         queues: dict = {}
         n_multi = n_single = 0
         for batch in train_loader:
-            if profile_steps and global_step == 0:
+            if profile_steps and not trace_started:
                 jax.profiler.start_trace(str(results_path / "profile"))
+                trace_started = True
             if multi_step is None:
                 pending_flushed = 1
                 run_single(batch)
@@ -512,10 +513,11 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                     n_multi += steps_per_call
                     after_steps()
                     q.clear()
-            if profile_steps and 0 < profile_steps <= global_step:
+            if trace_started and global_step >= trace_stop_at:
                 jax.block_until_ready(state.params["seg"]["out"]["b"])
                 jax.profiler.stop_trace()
                 profile_steps = 0
+                trace_started = False
         for q in queues.values():
             if q:
                 pending_flushed = len(q)

@@ -192,16 +192,18 @@ def make_train_step(model, loss_fn, loss_tag: str, ma_window_steps: int,
             "audio": data_sh, "in_lengths": data_sh, "target": data_sh,
             "out_mask": data_sh,
         }
-        if device_normalize and not autoregression:
-            batch_shardings.update({"norm_length": rep, "included": data_sh})
-        if dynamic_pos_weight:
-            batch_shardings["pos_weight"] = rep
         if autoregression:
             batch_shardings = {
                 "audio": data_sh, "in_lengths": data_sh, "in_target": data_sh,
                 "out_target": data_sh, "src_mask": data_sh,
                 "tgt_mask": data_sh,
             }
+        if device_normalize and not autoregression:
+            batch_shardings.update({"norm_length": rep, "included": data_sh})
+        # after the autoregression overwrite: an autoreg task overridden to a
+        # bce-tag loss still gets pos_weight injected by the train loop
+        if dynamic_pos_weight:
+            batch_shardings["pos_weight"] = rep
         return jax.jit(
             step_fn,
             in_shardings=(state_sh, batch_shardings, rep),
