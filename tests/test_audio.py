@@ -160,3 +160,45 @@ def test_fixed_dataset_windows_identical_with_cache(tmp_path):
             wav, _, _, _ = ds[i]
             s, e = int(ds.starts[i]), int(ds.ends[i])
             np.testing.assert_array_equal(wav, read_wav_window(p, s, e - s))
+
+
+def test_waveform_cache_concurrent_first_touch_decodes_once(tmp_path):
+    """Concurrent first-touch misses must share ONE decode (the producer
+    pools hit a talk's first windows simultaneously; without the in-flight
+    guard each thread re-decoded the whole file)."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    import wav2vecsegmenter_tpu.data.audio as audio_mod
+    from wav2vecsegmenter_tpu.data.audio import WaveformCache, write_wav
+
+    p = tmp_path / "talk.wav"
+    rng = np.random.RandomState(2)
+    write_wav(p, rng.randn(16000).astype(np.float32) * 0.3)
+
+    cache = WaveformCache(2)
+    n_decodes = 0
+    barrier = threading.Barrier(8)
+    orig = audio_mod.read_wav_window
+
+    def counting_read(path, offset, num_frames):
+        nonlocal n_decodes
+        n_decodes += 1
+        return orig(path, offset, num_frames)
+
+    audio_mod.read_wav_window = counting_read
+    try:
+        def touch(_):
+            barrier.wait()
+            return cache.full(p)
+
+        with ThreadPoolExecutor(8) as pool:
+            results = list(pool.map(touch, range(8)))
+    finally:
+        audio_mod.read_wav_window = orig
+
+    assert n_decodes == 1, n_decodes
+    for r in results[1:]:
+        np.testing.assert_array_equal(r, results[0])

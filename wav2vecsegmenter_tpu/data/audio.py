@@ -94,19 +94,36 @@ class WaveformCache:
         self._data: "collections.OrderedDict[str, np.ndarray]" = \
             collections.OrderedDict()
         self._lock = threading.Lock()
+        # per-key decode-in-progress events: producer pools touch a talk's
+        # first windows concurrently; followers wait for the one decode
+        # instead of each re-decoding the whole file (double-checked locking)
+        self._threading = threading
+        self._inflight: dict = {}
 
     def full(self, path: str | Path) -> np.ndarray:
         key = str(path)
-        with self._lock:
-            if key in self._data:
+        while True:
+            with self._lock:
+                if key in self._data:
+                    self._data.move_to_end(key)
+                    return self._data[key]
+                ev = self._inflight.get(key)
+                if ev is None:
+                    self._inflight[key] = self._threading.Event()
+                    break
+            ev.wait()
+            # decoded entry may already be evicted under heavy churn —
+            # loop back and re-check (worst case this thread decodes)
+        try:
+            data = read_wav_window(key, 0, None)
+            with self._lock:
+                self._data[key] = data
                 self._data.move_to_end(key)
-                return self._data[key]
-        data = read_wav_window(key, 0, None)
-        with self._lock:
-            self._data[key] = data
-            self._data.move_to_end(key)
-            while len(self._data) > self._cap:
-                self._data.popitem(last=False)
+                while len(self._data) > self._cap:
+                    self._data.popitem(last=False)
+        finally:
+            with self._lock:
+                self._inflight.pop(key).set()
         return data
 
     def window(self, path: str | Path, offset: int,
