@@ -31,7 +31,7 @@ import numpy as np
 
 from ..data.collate import collate, out_len_for
 from ..data.loader import audio_bucket_lengths
-from .pipeline import nan_fill
+from .pipeline import alloc_talk_arrays, finalize_talk_arrays, stitch_row
 
 
 class _Unit:
@@ -136,11 +136,8 @@ class PackedSweep:
                 self._flush(audio_len)
 
         vocab_size = getattr(self.engine.model, "vocab_size", 1)
-        talk_probs = np.full(duration_outframes, np.nan)
-        if vocab_size and vocab_size > 1:
-            talk_logits = np.full((duration_outframes, vocab_size), np.nan)
-        else:
-            talk_logits = np.full(duration_outframes, np.nan)
+        talk_probs, talk_logits = alloc_talk_arrays(
+            vocab_size, duration_outframes)
 
         self._materialize_all(unit.records)
         n_scattered = 0
@@ -150,25 +147,14 @@ class PackedSweep:
                 if u is not unit:
                     continue
                 n_scattered += 1
-                start, end = int(batch.starts[i]), int(batch.ends[i])
-                end = min(end, duration_outframes)
-                if batch.included[i] and end > start:
-                    d = end - start
-                    talk_probs[start:end] = record["probs"][i, :d]
-                    if record["logits"] is not None:
-                        talk_logits[start:end] = record["logits"][i, :d]
-                elif not batch.included[i] and end > start:
-                    talk_probs[start:end] = 0
-                    talk_logits[start:end] = 0
+                stitch_row(talk_probs, talk_logits, batch, i,
+                           record["probs"], record["logits"],
+                           duration_outframes)
         assert n_scattered == unit.n_windows, (n_scattered, unit.n_windows)
         unit.records = []
 
-        nan_fill(talk_probs, duration_outframes)
-        if self.need_logits:
-            nan_fill(talk_logits, duration_outframes)
-        else:
-            talk_logits = np.zeros_like(talk_logits)
-        return talk_probs, talk_logits
+        return finalize_talk_arrays(
+            talk_probs, talk_logits, duration_outframes, self.need_logits)
 
     def close(self) -> None:
         self._pool.shutdown(wait=False)

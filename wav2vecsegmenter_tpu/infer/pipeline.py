@@ -210,6 +210,54 @@ def infer_talk(
                         return_loss=return_loss, need_logits=need_logits)
 
 
+def alloc_talk_arrays(vocab_size, duration_outframes: int):
+    """NaN-initialized stitch targets for one talk (probs, logits)."""
+    talk_probs = np.full(duration_outframes, np.nan)
+    if vocab_size and vocab_size > 1:
+        talk_logits = np.full((duration_outframes, vocab_size), np.nan)
+    else:
+        talk_logits = np.full(duration_outframes, np.nan)
+    return talk_probs, talk_logits
+
+
+def stitch_row(talk_probs, talk_logits, batch, i, probs, logits,
+               duration_outframes: int, talk_targets=None) -> None:
+    """Scatter one window row into the talk arrays.
+
+    Shared by the per-talk path (collect_talk) and the cross-talk packer
+    (packing.PackedSweep.drain_unit) so the parity-sensitive semantics —
+    the .5-outframe end clamp and excluded-row zero fill — live in one
+    place (reference lib/evaluate.py:100-125, PARITY.md)."""
+    start, end = int(batch.starts[i]), int(batch.ends[i])
+    # Guard: when the talk length lands exactly on a .5 output frame
+    # (e.g. 30.00s -> 1498.5), duration_outframes rounds down (banker's)
+    # but the window-end +1e-6 tiebreak rounds up, putting the last grid
+    # end 1 past the talk array.  The reference crashes on this input
+    # (lib/evaluate.py:104 writes past talk_probs); we clamp (PARITY.md).
+    end = min(end, duration_outframes)
+    if batch.included[i] and end > start:
+        duration = end - start
+        talk_probs[start:end] = probs[i, :duration]
+        if logits is not None:
+            talk_logits[start:end] = logits[i, :duration]
+        if talk_targets is not None and batch.target is not None:
+            talk_targets[start:end] = batch.target[i, :duration]
+    elif not batch.included[i] and end > start:
+        talk_probs[start:end] = 0
+        talk_logits[start:end] = 0
+
+
+def finalize_talk_arrays(talk_probs, talk_logits, duration_outframes: int,
+                         need_logits: bool):
+    """NaN-gap fill; zero the logits when they were never stitched."""
+    nan_fill(talk_probs, duration_outframes)
+    if need_logits:
+        nan_fill(talk_logits, duration_outframes)
+    else:
+        talk_logits = np.zeros_like(talk_logits)
+    return talk_probs, talk_logits
+
+
 def collect_talk(
     engine: WindowInference,
     pending: list,
@@ -221,11 +269,7 @@ def collect_talk(
     """Download + stitch the handles produced by :func:`dispatch_talk`."""
     vocab_size = getattr(engine.model, "vocab_size", 1)
     need_logits = need_logits or (return_loss and engine.loss_fn is not None)
-    talk_probs = np.full(duration_outframes, np.nan)
-    if vocab_size and vocab_size > 1:
-        talk_logits = np.full((duration_outframes, vocab_size), np.nan)
-    else:
-        talk_logits = np.full(duration_outframes, np.nan)
+    talk_probs, talk_logits = alloc_talk_arrays(vocab_size, duration_outframes)
     talk_targets = np.zeros(duration_outframes)
 
     all_losses = []
@@ -247,30 +291,12 @@ def collect_talk(
         if return_loss and engine.loss_fn is not None:
             all_losses.append(engine.batch_loss(batch, logits))
         for i in range(len(probs)):
-            start, end = int(batch.starts[i]), int(batch.ends[i])
-            # Guard: when the talk length lands exactly on a .5 output
-            # frame (e.g. 30.00s -> 1498.5), duration_outframes rounds
-            # down (banker's) but the window-end +1e-6 tiebreak rounds up,
-            # putting the last grid end 1 past the talk array.  The
-            # reference crashes on this input (lib/evaluate.py:104 writes
-            # past talk_probs); we clamp instead (PARITY.md).
-            end = min(end, duration_outframes)
-            if batch.included[i] and end > start:
-                duration = end - start
-                talk_probs[start:end] = probs[i, :duration]
-                if need_logits:
-                    talk_logits[start:end] = logits[i, :duration]
-                if collect_targets and batch.target is not None:
-                    talk_targets[start:end] = batch.target[i, :duration]
-            elif not batch.included[i] and end > start:
-                talk_probs[start:end] = 0
-                talk_logits[start:end] = 0
+            stitch_row(talk_probs, talk_logits, batch, i, probs,
+                       logits if need_logits else None, duration_outframes,
+                       talk_targets if collect_targets else None)
 
-    nan_fill(talk_probs, duration_outframes)
-    if need_logits:
-        nan_fill(talk_logits, duration_outframes)
-    else:
-        talk_logits = np.zeros_like(talk_logits)
+    talk_probs, talk_logits = finalize_talk_arrays(
+        talk_probs, talk_logits, duration_outframes, need_logits)
 
     if return_loss:
         avg = float(np.mean(all_losses)) if all_losses else None
