@@ -5,7 +5,7 @@ per-row mean/std of masked-frame count and span count, for a full row, a
 padded row and a tiny row at the production window geometry (T=999, p=0.05,
 L=10, min_masks=2).
 
-Run: JAX_PLATFORMS=cpu python scripts/measure_specaugment.py
+Run: python scripts/measure_specaugment.py
 """
 
 import sys
@@ -14,6 +14,12 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# the axon sitecustomize overrides JAX_PLATFORMS at interpreter start —
+# ad-hoc scripts must pin CPU via jax.config (CLAUDE.md)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 T, L, PROB, MIN_MASKS = 999, 10, 0.05, 2
 LENGTHS = np.array([999, 781, 95], np.int64)
