@@ -175,6 +175,12 @@ def main() -> None:
     # whose first-batch upload is exposed)
     batch_size = int(os.environ.get("BENCH_BATCH", 10))
     inference_times = int(os.environ.get("BENCH_PASSES_PER_TALK", 2))
+    # BENCH_TALK_SECS=<secs>: the round-2 single-talk workload (one talk,
+    # one pass) for comparing against the r1/r2 headline numbers
+    single_talk = os.environ.get("BENCH_TALK_SECS")
+    if single_talk:
+        talk_specs = [float(single_talk)]
+        inference_times = int(os.environ.get("BENCH_PASSES_PER_TALK", 1))
 
     model = SHAS(
         wav2vec_model_name="facebook/wav2vec2-xls-r-300m",
@@ -254,25 +260,33 @@ def main() -> None:
             walls.append(time.perf_counter() - t0)
         wall = min(walls)
 
-        # companion number: single 300 s talk, single pass (the steady-state
+        # companion number: single last talk, single pass (the steady-state
         # per-talk rate with no cross-talk tail or multi-pass re-dispatch) —
-        # recorded alongside the honest sweep headline
-        saved_times = sweep_cfg["inference_times"]
-        sweep_cfg["inference_times"] = 1
-        single_walls = []
-        for _ in range(max(3, n_passes // 2)):
-            t0 = time.perf_counter()
-            run_once([wav_paths[2]])
-            single_walls.append(time.perf_counter() - t0)
-        sweep_cfg["inference_times"] = saved_times
-        single_xrt = talk_specs[2] / min(single_walls)
+        # recorded alongside the honest sweep headline.  Skipped in
+        # BENCH_TALK_SECS mode, where the headline IS a single talk.
+        if len(talk_specs) > 1:
+            saved_times = sweep_cfg["inference_times"]
+            sweep_cfg["inference_times"] = 1
+            single_walls = []
+            for _ in range(max(3, n_passes // 2)):
+                t0 = time.perf_counter()
+                run_once([wav_paths[-1]])
+                single_walls.append(time.perf_counter() - t0)
+            sweep_cfg["inference_times"] = saved_times
+            single_xrt = talk_specs[-1] / min(single_walls)
+        else:
+            single_xrt = total_secs / wall
 
+    # xRT counts each audio-second ONCE regardless of inference_times —
+    # repeat passes are honest overhead, not extra throughput
     xrt = total_secs / wall
     target = 50.0
+    workload = (f"single {talk_specs[0]:g}s talk x{inference_times} pass"
+                if single_talk else "3-talk sweep x2 passes")
     print(json.dumps({
         "metric": "xRT_segmentation_per_chip",
         "value": round(xrt, 2),
-        "unit": "audio-sec/sec (x realtime, 3-talk sweep x2 passes)",
+        "unit": f"audio-sec/sec (x realtime, {workload})",
         "vs_baseline": round(xrt / target, 3),
         "single_talk_xrt_1pass": round(single_xrt, 2),
     }))

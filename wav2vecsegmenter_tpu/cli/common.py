@@ -177,12 +177,9 @@ def segment_wavs(
 
     # optional jax.profiler capture of the first talk
     # (runtime.profile_dir, SURVEY §5.1 observability)
-    rt = config.get("runtime") or {}
     profile_dir = rt.get("profile_dir")
     profiling = False
     if profile_dir:
-        import jax
-
         jax.profiler.start_trace(str(profile_dir))
         profiling = True
 
@@ -294,14 +291,22 @@ def segment_wavs(
 
     lookahead = 2 if packer is not None else 1
     in_flight: deque = deque()
-    for wav_path in tqdm(wav_paths, desc="talks"):
-        in_flight.append(dispatch_one(wav_path))
-        if len(in_flight) > lookahead:
+    try:
+        for wav_path in tqdm(wav_paths, desc="talks"):
+            in_flight.append(dispatch_one(wav_path))
+            if len(in_flight) > lookahead:
+                drain_and_maybe_stop_profile(in_flight.popleft())
+        while in_flight:
             drain_and_maybe_stop_profile(in_flight.popleft())
-    while in_flight:
-        drain_and_maybe_stop_profile(in_flight.popleft())
-    if packer is not None:
-        packer.close()
+    finally:
+        # a mid-sweep failure must not leak a running profiler trace (the
+        # next segment_wavs in this process would hit "trace already
+        # started") or the packer's dispatch threads
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+        if packer is not None:
+            packer.close()
     wall = time.perf_counter() - t_all
     if wall > 0 and total_audio_secs:
         logger.info("segmented %.1fs of audio in %.1fs (%.0fx RT overall)",

@@ -56,8 +56,12 @@ def st_results_tables(run, wandb_name: str, results: dict, algorithm: str,
         )
     p = results.get(f"eval_st_bertscore_p_{algorithm}")
     if p is not None:
-        r = results.get(f"eval_st_bertscore_r_{algorithm}")
-        f1 = results.get(f"eval_st_bertscore_f1_{algorithm}")
+        # r/f1 default to nan rather than crashing the post-eval logging on
+        # a partial results dict (p alone present)
+        r = results.get(f"eval_st_bertscore_r_{algorithm}", float("nan"))
+        f1 = results.get(f"eval_st_bertscore_f1_{algorithm}", float("nan"))
+        r = float("nan") if r is None else r
+        f1 = float("nan") if f1 is None else f1
         s = f"BERTScore (P/R/F1) = {p:.4f}/{r:.4f}/{f1:.4f}"
         wandb_dict.update(bertscore_p=p, bertscore_r=r, bertscore_f1=f1)
         wandb_dict["bertscore_table"] = wandb.Table(

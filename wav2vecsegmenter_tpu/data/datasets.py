@@ -166,6 +166,12 @@ class FixedSegmentationDataset(_GridDataset):
             )
             self._add_talk_windows(talk["id"], starts, ends)
 
+    def release_cache(self) -> None:
+        """Drop decoded waveforms between evals: this dataset lives for the
+        whole training run (train/loop.py eval_gen), and the capacity-2
+        cache would otherwise pin ~2 talks of float32 audio while idle."""
+        self._wav_cache.clear()
+
 
 class FixedSegmentationDatasetNoTarget:
     """Sliding windows over a single wav, no targets — the inference-product

@@ -81,6 +81,11 @@ def evaluate(
         all_preds = np.append(all_preds, preds)
         all_targets = np.append(all_targets, targets)
 
+    if hasattr(dataloader_generator.dataset, "release_cache"):
+        # the eval dataset outlives this call (train loop reuses it every
+        # eval); don't pin the last talks' decoded audio until the next one
+        dataloader_generator.dataset.release_cache()
+
     all_targets = all_targets.astype(bool)
     all_preds = all_preds.astype(bool)
     results_loss = (

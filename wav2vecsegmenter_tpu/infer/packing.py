@@ -26,12 +26,12 @@ from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 
-import jax
 import numpy as np
 
 from ..data.collate import collate, out_len_for
 from ..data.loader import audio_bucket_lengths
-from .pipeline import alloc_talk_arrays, finalize_talk_arrays, stitch_row
+from .pipeline import (alloc_talk_arrays, download_batches,
+                       finalize_talk_arrays, stitch_row)
 
 
 class _Unit:
@@ -103,10 +103,8 @@ class PackedSweep:
             u.records.append(record)
 
     def _materialize_all(self, records: list) -> None:
-        """Download every unresolved record in ONE jax.device_get (it
-        issues copy_to_host_async per leaf before blocking, so the
-        transfers overlap into ~one round-trip — same rationale as
-        pipeline.collect_talk)."""
+        """Download every unresolved record in one overlapped round-trip
+        (pipeline.download_batches)."""
         resolved = []
         for record in records:
             if record["probs"] is not None:
@@ -114,14 +112,9 @@ class PackedSweep:
             batch, probs_d, logits_d = record["future"].result()
             record["batch"] = batch
             resolved.append((record, probs_d, logits_d))
-        if not resolved:
-            return
-        if self.need_logits:
-            all_probs, all_logits = jax.device_get(
-                ([p for _, p, _ in resolved], [l for _, _, l in resolved]))
-        else:
-            all_probs = jax.device_get([p for _, p, _ in resolved])
-            all_logits = [None] * len(resolved)
+        all_probs, all_logits = download_batches(
+            [p for _, p, _ in resolved], [l for _, _, l in resolved],
+            self.need_logits)
         for (record, _, _), probs, logits in zip(resolved, all_probs,
                                                  all_logits):
             record["probs"] = probs

@@ -258,6 +258,20 @@ def finalize_talk_arrays(talk_probs, talk_logits, duration_outframes: int,
     return talk_probs, talk_logits
 
 
+def download_batches(probs_handles: list, logits_handles: list,
+                     need_logits: bool):
+    """ONE device_get for many batches' outputs: jax.device_get issues
+    copy_to_host_async on every leaf before blocking, so all transfers
+    overlap into ~one tunnel round-trip instead of one per batch
+    (~25-30 ms each on remote-execution rigs, 15+ batches/talk).  Shared
+    by the per-talk drain (collect_talk) and the cross-talk packer."""
+    if not probs_handles:
+        return [], []
+    if need_logits:
+        return jax.device_get((probs_handles, logits_handles))
+    return jax.device_get(probs_handles), [None] * len(probs_handles)
+
+
 def collect_talk(
     engine: WindowInference,
     pending: list,
@@ -274,20 +288,10 @@ def collect_talk(
 
     all_losses = []
 
-    # ONE device_get for the whole talk: jax.device_get issues
-    # copy_to_host_async on every leaf before blocking, so all batches'
-    # transfers overlap into ~one tunnel round-trip instead of one per
-    # batch (~25-30 ms each on remote-execution rigs, 15+ batches/talk)
-    if pending:
-        if need_logits:
-            all_probs, all_logits = jax.device_get(
-                ([p for p, _, _ in pending], [l for _, l, _ in pending]))
-        else:
-            all_probs = jax.device_get([p for p, _, _ in pending])
-            all_logits = [None] * len(pending)
+    all_probs, all_logits = download_batches(
+        [p for p, _, _ in pending], [l for _, l, _ in pending], need_logits)
 
-    for (_, _, batch), probs, logits in zip(
-            pending, all_probs, all_logits) if pending else ():
+    for (_, _, batch), probs, logits in zip(pending, all_probs, all_logits):
         if return_loss and engine.loss_fn is not None:
             all_losses.append(engine.batch_loss(batch, logits))
         for i in range(len(probs)):
