@@ -199,3 +199,43 @@ def test_segment_cli_pack_across_talks(tmp_path):
         assert abs(pr["offset"] - pl["offset"]) <= tol + 1e-9
         assert abs(pr["duration"] - pl["duration"]) <= 2 * tol + 1e-9
     yaml.safe_load(open(ws / "out_packed" / "custom_segments.yaml"))
+
+
+def test_segment_wavs_cleanup_on_midsweep_failure(talks, engine, tmp_path,
+                                                  monkeypatch):
+    """A failure while draining a talk must stop the running profiler trace
+    and close the packer (cli/common.segment_wavs try/finally) — a leaked
+    trace breaks every later segment_wavs in the same process with
+    'profiler trace already started'."""
+    import jax.numpy as jnp
+
+    import wav2vecsegmenter_tpu.cli.common as common
+    from wav2vecsegmenter_tpu.config import Config
+
+    def cfg(profile_sub):
+        return Config({
+            "batch_size": 4,
+            "inference_times": 1,
+            "inference_segment_length": SEG_LEN,
+            "algorithm": {"tag": "dac", "max_segment_length": 10,
+                          "threshold": 0.5},
+            "task": {"loss": {"tag": "bce"}},
+            "runtime": {"profile_dir": str(tmp_path / profile_sub),
+                        "pack_across_talks": True},
+        })
+
+    def boom_algorithm(*a, **k):
+        raise RuntimeError("algo boom")
+
+    with monkeypatch.context() as m:
+        m.setattr(common, "run_algorithm", boom_algorithm)
+        with pytest.raises(RuntimeError, match="algo boom"):
+            common.segment_wavs(cfg("prof1"), engine.model, engine.params,
+                                None, talks, jnp.float32, engine=engine)
+
+    # profiler was stopped and the packer closed: the next profiled sweep
+    # in this process must run clean end-to-end
+    out = common.segment_wavs(cfg("prof2"), engine.model, engine.params,
+                              None, talks, jnp.float32, engine=engine)
+    assert len(out) > 0
+    assert (tmp_path / "prof2").exists()
