@@ -262,3 +262,55 @@ def test_multistep_per_bucket_grouping(corpus, tmp_path, monkeypatch, caplog):
     # two shape buckets, each can strand at most K-1 batches at epoch end
     assert n_single <= 2 * (K - 1), (n_multi, total)
     assert n_multi > 0
+
+
+def test_profile_steps_beyond_run_flushes_trace(corpus, tmp_path, monkeypatch):
+    """profile_steps larger than the run's total steps (and a multistep
+    config whose groups never fill, so all steps run in the epoch-tail
+    drain where the in-loop stop check cannot fire): the trace must still
+    be flushed by the end of train(), and a second profiled run in the
+    same process must not hit 'trace already started'."""
+    ws, talks_tsv, segments_tsv = corpus
+    monkeypatch.chdir(tmp_path)
+
+    from wav2vecsegmenter_tpu.config import registry
+
+    import tests.helpers as helpers
+
+    helpers._tiny_builder_prof = lambda **kw: tiny_shas()
+    orig = registry._ALIASES["lib.models.SHAS"]
+    registry.register("lib.models.SHAS", "tests.helpers:_tiny_builder_prof")
+
+    def cfg(exp):
+        return compose(CONF, "train", overrides=[
+            f"exp_name={exp}",
+            "batch_size=4",
+            "segment_length=4",
+            "max_epochs=1",
+            "update_freq=1",
+            "print_every_steps=100",
+            "save_every_steps=999999",
+            "save_ckpts=false",
+            "learning_rate=1e-4",
+            f"data.train.talk_list={talks_tsv}",
+            f"data.train.segments_list={segments_tsv}",
+            f"data.eval.talk_list={talks_tsv}",
+            f"data.eval.segments_list={segments_tsv}",
+            "runtime.kernels=xla",
+            "runtime.compute_dtype=float32",
+            "+runtime.steps_per_call=64",   # groups never fill -> tail drain
+            "runtime.profile_steps=10000",  # beyond the run's total steps
+        ])
+
+    try:
+        from wav2vecsegmenter_tpu.train.loop import train
+
+        train(cfg("prof_a"), work_dir=tmp_path)
+        results = train(cfg("prof_b"), work_dir=tmp_path)  # would crash on leak
+    finally:
+        registry._ALIASES["lib.models.SHAS"] = orig
+
+    assert "eval_f1" in results
+    for exp in ("prof_a", "prof_b"):
+        plane = list((tmp_path / exp / "profile").rglob("*.xplane.pb"))
+        assert plane, f"no flushed trace for {exp}"

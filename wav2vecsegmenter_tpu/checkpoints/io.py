@@ -109,11 +109,15 @@ def _complete_headonly_params(params: dict, model,
     snap = _hf_local_snapshot(model.wav2vec_model_name)
     if is_ssl and snap is not None:
         # SSL variant: the ForCTC pretrained dir also provides the final
-        # encoder LN and the lm_head (reference lib/models.py:488-507)
+        # encoder LN and the lm_head (reference lib/models.py:488-507).
+        # setdefault per key: subtrees the checkpoint DID carry (e.g. a
+        # fine-tuned backbone restored by the partial-Orbax path) must not
+        # be overwritten by pretrained weights.
         from .torch_convert import convert_hf_for_ctc
 
         sd_hf = _load_hf_state_dict(snap)
-        params.update(convert_hf_for_ctc(sd_hf, model.w2v_cfg))
+        for k, v in convert_hf_for_ctc(sd_hf, model.w2v_cfg).items():
+            params.setdefault(k, v)
     else:
         if "wav2vec" not in params:
             params["wav2vec"] = load_wav2vec2_pretrained(

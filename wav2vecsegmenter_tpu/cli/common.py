@@ -301,12 +301,18 @@ def segment_wavs(
     finally:
         # a mid-sweep failure must not leak a running profiler trace (the
         # next segment_wavs in this process would hit "trace already
-        # started") or the packer's dispatch threads
-        if profiling:
-            jax.profiler.stop_trace()
-            profiling = False
-        if packer is not None:
-            packer.close()
+        # started") or the packer's dispatch threads; stop_trace itself
+        # failing (unwritable dir at flush) must still close the packer
+        # and not mask the original exception
+        try:
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+        except Exception:
+            logger.exception("profiler stop failed during sweep cleanup")
+        finally:
+            if packer is not None:
+                packer.close()
     wall = time.perf_counter() - t_all
     if wall > 0 and total_audio_secs:
         logger.info("segmented %.1fs of audio in %.1fs (%.0fx RT overall)",

@@ -414,11 +414,12 @@ def feature_extractor(params: dict, audio: jax.Array,
         t_real = (t_real - k) // s + 1
         ln_mode = "ln" in layer and "b" in layer
         n_taps = -(-k // s)
-        if (ln_mode and s * x.shape[-1] >= 128 and n_taps <= 2
+        if (ln_mode and (s * x.shape[-1]) % 128 == 0 and n_taps <= 2
                 and convfuse_enabled()):
-            # s*C >= 128: the folded depth fills full Mosaic lanes
-            # (ops/convfuse.py contract — a 64 < s*C < 128 block would
-            # pass interpret-mode tests but mislower on real TPU)
+            # s*C divisible by 128: the folded depth fills whole Mosaic
+            # lanes (ops/convfuse.py contract — a non-multiple block would
+            # pass interpret-mode tests but mislower on real TPU; the
+            # production 512-ch layers give s*C=1024)
             # whole layer (tap GEMMs + bias + LN + GELU) in ONE kernel
             # pass: one read of the folded input (tap 1 via an in-kernel
             # halo) and one write of the activated output, vs ~3 reads +

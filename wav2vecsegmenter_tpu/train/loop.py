@@ -525,6 +525,13 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                     run_single(b)
                 n_single += len(q)
                 after_steps()
+        if trace_started and global_step >= trace_stop_at:
+            # the trace target fell inside the epoch-tail drain, where the
+            # in-loop stop check never runs: flush before eval
+            jax.block_until_ready(state.params["seg"]["out"]["b"])
+            jax.profiler.stop_trace()
+            profile_steps = 0
+            trace_started = False
         if multi_step is not None and (n_multi or n_single):
             total = n_multi + n_single
             logger.info(
@@ -565,6 +572,10 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                     ),
                 }, f)
 
+    if trace_started:
+        # profile_steps exceeded the run's total steps: flush rather than
+        # leak an open trace into the next train()/segment in this process
+        jax.profiler.stop_trace()
     if wandb_run is not None:
         wandb_run.finish()
     return results
