@@ -79,8 +79,9 @@ def init_logging(config: Config, logfile: str = "log") -> None:
 
 def apply_runtime(config: Config):
     """Apply the TPU runtime block; returns the compute dtype."""
-    from ..core.runtime import setup_compilation_cache
+    from ..core.runtime import maybe_init_distributed, setup_compilation_cache
 
+    maybe_init_distributed()  # before the first backend query
     setup_compilation_cache()
     rt = config.get("runtime") or {}
     set_backend(rt.get("kernels", "auto"))

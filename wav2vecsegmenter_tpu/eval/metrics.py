@@ -102,9 +102,16 @@ def evaluate(
 
 def train_step_metrics(all_targets, all_preds, all_losses) -> dict:
     """Running train metrics printed every print_every_steps
-    (reference train.py:508-527)."""
+    (reference train.py:508-527).  With no accumulated predictions (multi-
+    host runs keep logits device-sharded and skip frame accumulation) the
+    frame metrics report nan rather than crashing sklearn."""
+    loss = float(np.mean(all_losses)) if all_losses else float("nan")
+    if len(all_preds) == 0:
+        nan = float("nan")
+        return {"loss": loss, "accuracy": nan, "f1": nan,
+                "precision": nan, "recall": nan}
     return {
-        "loss": float(np.mean(all_losses)) if all_losses else float("nan"),
+        "loss": loss,
         "accuracy": f1_score(all_targets, all_preds, average="micro"),
         "f1": f1_score(all_targets, all_preds, average="binary"),
         "precision": precision_score(all_targets, all_preds, zero_division=0),

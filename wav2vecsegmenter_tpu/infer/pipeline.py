@@ -108,16 +108,20 @@ class WindowInference:
             data_sh = batch_sharding(self.mesh)
             rep = replicated(self.mesh)
             p_sh = self._param_sh if self._param_sh is not None else rep
+            # multi-host: replicate the (small) outputs so every process
+            # can device_get them for stitching; single-host keeps them
+            # sharded (no gather needed to read local shards)
+            out_sh = data_sh if jax.process_count() == 1 else rep
             if device_normalize:
                 return jax.jit(
                     forward,
                     in_shardings=(p_sh, data_sh, data_sh, data_sh, rep, data_sh),
-                    out_shardings=(data_sh, data_sh),
+                    out_shardings=(out_sh, out_sh),
                 )
             return jax.jit(
                 forward,
                 in_shardings=(p_sh, data_sh, data_sh, data_sh),
-                out_shardings=(data_sh, data_sh),
+                out_shardings=(out_sh, out_sh),
             )
         return jax.jit(forward)
 

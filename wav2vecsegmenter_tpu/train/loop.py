@@ -150,10 +150,19 @@ def _init_wandb(config, results_path):
 
 def train(config: Config, work_dir: str | Path | None = None) -> dict:
     """Run training; returns final eval results."""
+    from ..core.runtime import maybe_init_distributed
+
+    # multi-host SPMD (W2VSEG_COORDINATOR / W2VSEG_DISTRIBUTED=auto env):
+    # after this, jax.devices() is the global device list and the mesh +
+    # jitted steps below scale across hosts unchanged — every process
+    # computes the same seed-deterministic global batches and device_put
+    # transfers only its addressable shards (tests/test_multihost.py)
+    multiprocess = maybe_init_distributed()
+    proc0 = jax.process_index() == 0
     results_path = Path(work_dir or ".") / config.exp_name
     checkpoints_path = results_path / "ckpts"
     checkpoints_path.mkdir(parents=True, exist_ok=True)
-    wandb_run = _init_wandb(config, results_path)
+    wandb_run = _init_wandb(config, results_path) if proc0 else None
 
     rt = config.get("runtime") or {}
     compute_dtype = (
@@ -194,8 +203,15 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
     vocab = instantiate(config.task.vocab) if config.task.get("vocab") else None
     autoregression = bool(config.task.autoregression)
 
+    train_gen_conf = merge(
+        merge(config.task.train_generator, config.data.train), device_conf)
+    if multiprocess and train_gen_conf.get("seed") is None:
+        # SPMD contract: every process must assemble the SAME global batch
+        # (jax.device_put verifies cross-process consistency); an unseeded
+        # generator would diverge per rank
+        train_gen_conf = merge(train_gen_conf, Config({"seed": seed}))
     train_gen = instantiate(
-        merge(merge(config.task.train_generator, config.data.train), device_conf),
+        train_gen_conf,
         autoregression=autoregression, vocab=vocab,
         device_normalize=device_normalize,
     )
@@ -328,6 +344,10 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
     engine = WindowInference(
         model, state.params, loss_tag=config.task.loss.tag,
         compute_dtype=compute_dtype, vocab=vocab,
+        # multi-host: in-training eval must run the same global-mesh SPMD
+        # program on every process (params live on the global mesh; an
+        # unannotated jit would guess shardings per process)
+        mesh=mesh if multiprocess else None,
     )
 
     global_step = resume_global_step
@@ -399,6 +419,8 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
 
         def accumulate_metrics(batch, loss_val, logits):
             all_losses.append(float(loss_val))
+            if logits is None:
+                return
             if loss_tag == "bce":
                 lg = np.asarray(logits)
                 t = min(lg.shape[1], batch.out_mask.shape[1])
@@ -465,7 +487,9 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
             new_state, metrics = train_step(state, dev_batch, sub)
             state = new_state
             all_gnorms.append(float(metrics["grad_norm"]))
-            accumulate_metrics(batch, metrics["loss"], metrics["logits"])
+            lg = metrics["logits"]
+            accumulate_metrics(batch, metrics["loss"],
+                               lg if lg.is_fully_addressable else None)
 
         def run_multi(group):
             nonlocal state, rng, step, global_step
@@ -480,9 +504,14 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
             state = new_state
             all_gnorms.extend(np.asarray(metrics["grad_norm"]).tolist())
             losses = np.asarray(metrics["loss"])
-            logits = np.asarray(metrics["logits"])
+            # logits stay data-sharded; in multi-host runs they span
+            # non-addressable devices, so per-step frame metrics are
+            # loss/grad_norm only (eval reports the full F1)
+            logits = (np.asarray(metrics["logits"])
+                      if metrics["logits"].is_fully_addressable else None)
             for i, b in enumerate(group):
-                accumulate_metrics(b, losses[i], logits[i])
+                accumulate_metrics(b, losses[i],
+                                   None if logits is None else logits[i])
 
         def batch_shape_key(b):
             return (b.audio.shape, type(b).__name__)
