@@ -482,3 +482,50 @@ def test_autoreg_step_with_dynamic_pos_weight_on_mesh(rng):
     }
     state, metrics = step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_fsdp_train_step_on_mesh(rng, monkeypatch):
+    """ZeRO-3 via GSPMD (runtime.mesh.fsdp): params + adam moments shard
+    one free dim over 'data' (parallel/mesh._add_fsdp_axis); the train
+    step matches the single-device step (XLA all-gathers at use,
+    reduce-scatters grads)."""
+    import wav2vecsegmenter_tpu.parallel.mesh as mesh_mod
+    from wav2vecsegmenter_tpu.parallel.mesh import (
+        make_mesh, param_shardings, state_shardings)
+
+    # the tiny model's leaves are all below the production size floor
+    monkeypatch.setattr(mesh_mod, "_FSDP_MIN_ELEMS", 1024)
+
+    mesh = make_mesh(8, 1)
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    mask = model.trainable_mask(params)
+    opt = make_optimizer(1e-3, 100, 1, mask)
+    batch = _make_batch(rng, b=8, L=16000, t_out=50)
+
+    p_sh = param_shardings(mesh, params, fsdp=True)
+    assert "data" in str(p_sh["wav2vec"]["layers"]["ffn"]["w1"]["w"].spec)
+    # tiny leaves stay replicated even under the lowered floor
+    assert str(p_sh["seg"]["out"]["b"].spec) == "PartitionSpec()"
+
+    params2 = jax.tree.map(jnp.copy, params)
+    state1 = init_train_state(model, opt, jax.random.PRNGKey(1), params)
+    step1 = make_train_step(model, BCEWithLogitsLoss(None), "bce", 0, opt)
+    state1, m1 = step1(state1, batch, jax.random.PRNGKey(9))
+
+    state2 = init_train_state(model, opt, jax.random.PRNGKey(1), params2)
+    st_sh = state_shardings(mesh, state2, fsdp=True)
+    state2 = jax.device_put(state2, st_sh)
+    w1 = state2.params["wav2vec"]["layers"]["ffn"]["w1"]["w"]
+    # genuinely distributed: each device holds 1/8 of the leaf
+    assert w1.addressable_shards[0].data.size == w1.size // 8
+    step_f = make_train_step(model, BCEWithLogitsLoss(None), "bce", 0, opt,
+                             mesh=mesh, state_shardings=st_sh)
+    state2, mf = step_f(state2, batch, jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(mf["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=1e-3)

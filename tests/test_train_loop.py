@@ -314,3 +314,52 @@ def test_profile_steps_beyond_run_flushes_trace(corpus, tmp_path, monkeypatch):
     for exp in ("prof_a", "prof_b"):
         plane = list((tmp_path / exp / "profile").rglob("*.xplane.pb"))
         assert plane, f"no flushed trace for {exp}"
+
+
+def test_train_loop_fsdp(corpus, tmp_path, monkeypatch):
+    """runtime.mesh.fsdp=true: params + adam moments live sharded over
+    'data' (ZeRO-3 via GSPMD, parallel/mesh._add_fsdp_axis); the loop
+    forces the xla kernel backend and trains + evaluates end-to-end."""
+    ws, talks_tsv, segments_tsv = corpus
+    monkeypatch.chdir(tmp_path)
+
+    import wav2vecsegmenter_tpu.parallel.mesh as mesh_mod
+    from wav2vecsegmenter_tpu.config import registry
+    from wav2vecsegmenter_tpu.ops import backend as backend_mod
+
+    import tests.helpers as helpers
+
+    # tiny model: lower the production leaf-size floor so sharding engages
+    monkeypatch.setattr(mesh_mod, "_FSDP_MIN_ELEMS", 1024)
+    helpers._tiny_builder_train_fsdp = lambda **kw: tiny_shas()
+    orig = registry._ALIASES["lib.models.SHAS"]
+    registry.register("lib.models.SHAS",
+                      "tests.helpers:_tiny_builder_train_fsdp")
+    try:
+        cfg = compose(CONF, "train", overrides=[
+            "exp_name=smoke_fsdp",
+            "batch_size=1",
+            "segment_length=4",
+            "max_epochs=1",
+            "update_freq=1",
+            "print_every_steps=4",
+            "save_every_steps=999999",
+            "save_ckpts=false",
+            "learning_rate=1e-4",
+            f"data.train.talk_list={talks_tsv}",
+            f"data.train.segments_list={segments_tsv}",
+            f"data.eval.talk_list={talks_tsv}",
+            f"data.eval.segments_list={segments_tsv}",
+            "runtime.kernels=xla",
+            "runtime.compute_dtype=float32",
+            "runtime.mesh.data=8",
+            "+runtime.mesh.fsdp=true",
+        ])
+        from wav2vecsegmenter_tpu.train.loop import train
+
+        results = train(cfg, work_dir=tmp_path)
+    finally:
+        registry._ALIASES["lib.models.SHAS"] = orig
+        backend_mod.set_backend("auto")  # train() forced xla for FSDP
+
+    assert set(results) >= {"eval_f1", "eval_precision", "eval_recall"}

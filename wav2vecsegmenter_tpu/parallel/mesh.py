@@ -120,26 +120,54 @@ def _tp_spec(keys: tuple, ndim: int) -> P:
     return P()
 
 
-def param_shardings(mesh: Mesh, params):
+# FSDP: leaves smaller than this stay replicated — an all-gather launch
+# costs more than the bytes saved (LN scales, biases, conv taps)
+_FSDP_MIN_ELEMS = 2 ** 15
+
+
+def _add_fsdp_axis(spec: P, shape, n_data: int) -> P:
+    """ZeRO-3 via GSPMD: put 'data' on the largest still-free dim divisible
+    by the data-axis size.  Params and optimizer moments then live sharded
+    in HBM; XLA inserts the all-gather at each use and the matching
+    reduce-scatter on the gradients."""
+    if n_data <= 1 or int(np.prod(shape)) < _FSDP_MIN_ELEMS:
+        return spec
+    names = list(spec) + [None] * (len(shape) - len(spec))
+    free = [ax for ax in range(len(shape))
+            if names[ax] is None and shape[ax] % n_data == 0]
+    if not free:
+        return spec
+    ax = max(free, key=lambda a: shape[a])
+    names[ax] = "data"
+    return P(*names)
+
+
+def param_shardings(mesh: Mesh, params, fsdp: bool = False):
     """NamedSharding tree for a model param tree: tensor-parallel specs on
     the transformer block weights when the mesh has a model axis, replicated
     otherwise.  Dims not divisible by the model-axis size fall back to
-    replicated (GSPMD would pad; not worth it for odd heads)."""
+    replicated (GSPMD would pad; not worth it for odd heads).  With
+    ``fsdp=True`` every large leaf additionally shards one free dim over
+    'data' (ZeRO-3; composes with tensor parallelism)."""
     n_model = mesh.shape.get("model", 1)
+    n_data = mesh.shape.get("data", 1)
 
     def one(path, leaf):
-        if n_model <= 1:
-            return replicated(mesh)
-        spec = _tp_spec(_path_keys(path), getattr(leaf, "ndim", 0))
-        for ax, name in enumerate(spec):
-            if name == "model" and leaf.shape[ax] % n_model != 0:
-                return replicated(mesh)
+        spec = P()
+        if n_model > 1:
+            spec = _tp_spec(_path_keys(path), getattr(leaf, "ndim", 0))
+            for ax, name in enumerate(spec):
+                if name == "model" and leaf.shape[ax] % n_model != 0:
+                    spec = P()
+                    break
+        if fsdp:
+            spec = _add_fsdp_axis(spec, getattr(leaf, "shape", ()), n_data)
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(one, params)
 
 
-def state_shardings(mesh: Mesh, state, params=None):
+def state_shardings(mesh: Mesh, state, params=None, fsdp: bool = False):
     """Sharding tree for a TrainState (or any pytree embedding the param
     tree): param leaves get ``param_shardings``; optimizer-state leaves
     whose path SUFFIX and shape match a param leaf (adam mu/nu, MultiSteps
@@ -147,7 +175,7 @@ def state_shardings(mesh: Mesh, state, params=None):
     everything else (counts, schedules) is replicated."""
     if params is None:
         params = state.params
-    p_sh = param_shardings(mesh, params)
+    p_sh = param_shardings(mesh, params, fsdp=fsdp)
     flat_p = {
         _path_keys(path): (leaf.shape, sh)
         for (path, leaf), (_, sh) in zip(

@@ -186,9 +186,11 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
         "steps_per_call", 8 if jax.default_backend() == "tpu" else 1))
     mesh, n_data, n_model = resolve_mesh(rt.get("mesh"))
     n_devices = n_data  # batch replication factor = data axis only
-    if mesh is not None and n_model > 1:
-        # tensor parallelism partitions the transformer GEMMs via GSPMD;
-        # Pallas kernels are opaque to the partitioner (parallel/mesh.py)
+    if mesh is not None and (n_model > 1
+                             or (rt.get("mesh") or {}).get("fsdp")):
+        # tensor parallelism / FSDP partition the GEMMs and params via
+        # GSPMD; Pallas kernels are opaque to the partitioner
+        # (parallel/mesh.py)
         from ..ops.backend import set_backend
 
         set_backend("xla")
@@ -308,13 +310,16 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
             best_metric, best_score,
         )
 
-    # tensor parallelism: place params + optimizer moments sharded over the
-    # 'model' axis before the first jitted call (parallel/mesh.py)
+    # tensor parallelism and/or FSDP (runtime.mesh.fsdp): place params +
+    # optimizer moments sharded before the first jitted call
+    # (parallel/mesh.py); FSDP shards every large leaf over 'data'
+    # (ZeRO-3 — XLA all-gathers at use, reduce-scatters the grads)
+    fsdp = bool((rt.get("mesh") or {}).get("fsdp"))
     state_sh = None
-    if mesh is not None and n_model > 1:
+    if mesh is not None and (n_model > 1 or fsdp):
         from ..parallel.mesh import state_shardings
 
-        state_sh = state_shardings(mesh, state)
+        state_sh = state_shardings(mesh, state, fsdp=fsdp)
         state = jax.device_put(state, state_sh)
 
     def save_ckpt(name: str, results: dict | None):
