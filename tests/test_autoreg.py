@@ -152,3 +152,35 @@ def test_autoreg_window_inference_pipeline(rng):
     assert np.isfinite(talk_probs).all()
     assert ((talk_probs >= 0) & (talk_probs <= 1)).all()
     assert talk_logits.shape == (2 * t_out, 4)
+
+
+def test_autoreg_training_dropout_fires(rng):
+    """Reference parity: the seg encoder-decoder trains WITH dropout
+    (init_dropout on src + torch layer-default 0.1 in every sublayer,
+    lib/models.py:100-123) — train-mode apply must differ from the
+    deterministic forward and between rng keys; deterministic stays exact."""
+    model = tiny_autoreg()
+    model.init_dropout = 0.1
+    params = model.init(jax.random.PRNGKey(0))
+
+    b, L, t = 2, 16000, 20
+    audio = jnp.asarray(rng.randn(b, L).astype(np.float32))
+    lens = jnp.asarray(np.full(b, L, np.int32))
+    tgt = jnp.asarray(np.ones((b, t), np.int32))
+    m = jnp.ones((b, t), bool)
+
+    det1 = np.asarray(model.apply(params, audio, lens, tgt, m, m))
+    det2 = np.asarray(model.apply(params, audio, lens, tgt, m, m,
+                                  deterministic=True,
+                                  rng=jax.random.PRNGKey(7)))
+    np.testing.assert_array_equal(det1, det2)
+
+    tr1 = np.asarray(model.apply(params, audio, lens, tgt, m, m,
+                                 deterministic=False,
+                                 rng=jax.random.PRNGKey(1)))
+    tr2 = np.asarray(model.apply(params, audio, lens, tgt, m, m,
+                                 deterministic=False,
+                                 rng=jax.random.PRNGKey(2)))
+    assert np.isfinite(tr1).all() and np.isfinite(tr2).all()
+    assert np.abs(tr1 - det1).max() > 1e-4
+    assert np.abs(tr1 - tr2).max() > 1e-4

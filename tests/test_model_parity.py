@@ -86,10 +86,10 @@ def our_cfg(stable=True):
 @pytest.mark.parametrize("stable", [True, False])
 def test_wav2vec2_matches_hf(stable):
     model, _ = make_hf_model(stable)
-    # reference removes the final encoder LayerNorm (stable) — emulate the
-    # truncation semantics for comparison (lib/models.py:347-349)
-    if stable:
-        model.encoder.layer_norm = torch.nn.Identity()
+    # reference replaces encoder.layer_norm with Identity for EVERY variant
+    # (lib/models.py:340-349): the final LN on stable models, the pre-layers
+    # LN on base/group-norm models — emulate for comparison
+    model.encoder.layer_norm = torch.nn.Identity()
 
     cfg = our_cfg(stable)
     params = convert_hf_wav2vec2(model.state_dict(), cfg)

@@ -20,9 +20,15 @@ import jax.numpy as jnp
 from ..ops.attention import attention
 from ..ops.layernorm import layer_norm
 from .sfc import _linear, _ln
-from .wav2vec2 import config_for, init_wav2vec2_params, wav2vec2_forward
+from .shas import _mask_like
+from .wav2vec2 import (_dropout, config_for, init_wav2vec2_params,
+                       wav2vec2_forward)
 
 _EPS = 1e-5
+
+# torch TransformerEncoderLayer/DecoderLayer default — the reference builds
+# its seg encoder/decoder without overriding it (lib/models.py:75-96)
+_LAYER_DROPOUT = 0.1
 
 
 def _attn_block(p, x_q, x_kv, n_heads, key_mask=None, causal=False,
@@ -37,23 +43,30 @@ def _attn_block(p, x_q, x_kv, n_heads, key_mask=None, causal=False,
     k = proj(p["k"], x_kv).reshape(b, -1, n_heads, dh).transpose(0, 2, 1, 3)
     v = proj(p["v"], x_kv).reshape(b, -1, n_heads, dh).transpose(0, 2, 1, 3)
     if causal:
-        # fused kernel handles key-padding only; causal decode uses XLA path
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q * dh ** -0.5, k)
+        # fused kernel handles key-padding only; causal decode uses XLA path.
+        # Scores + softmax in f32 regardless of compute dtype (same contract
+        # as ops/attention: bf16 exp/denominator accumulation is ~1% noisy)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q * dh ** -0.5, k,
+                            preferred_element_type=jnp.float32)
         tk = scores.shape[-1]
         cmask = jnp.tril(jnp.ones((tq, tk), bool))
         scores = jnp.where(cmask[None, None], scores, -1e30)
         if key_mask is not None:
             scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
-        out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), v)
+        probs = jax.nn.softmax(scores, -1).astype(compute_dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     else:
         out = attention(q, k, v, key_mask, scale=dh ** -0.5)
     out = out.transpose(0, 2, 1, 3).reshape(b, tq, d)
     return proj(p["o"], out)
 
 
-def _ffn_block(p, x, compute_dtype=jnp.float32):
+def _ffn_block(p, x, compute_dtype=jnp.float32, *, deterministic=True,
+               rng=None):
     f = x @ p["w1"]["w"].astype(compute_dtype) + p["w1"]["b"].astype(compute_dtype)
     f = jax.nn.gelu(f, approximate=False)
+    if rng is not None:
+        f = _dropout(f, _LAYER_DROPOUT, deterministic, rng)
     return f @ p["w2"]["w"].astype(compute_dtype) + p["w2"]["b"].astype(compute_dtype)
 
 
@@ -126,72 +139,89 @@ class AutoRegSegmenterImpl:
     def apply(self, params, audio, in_lengths, target_in, src_mask, tgt_mask,
               *, deterministic=True, rng=None, compute_dtype=jnp.float32):
         """target_in [B, T_tgt] token ids; returns logits [B, T_tgt, V]."""
-        h, frame_mask = wav2vec2_forward(
-            params["wav2vec"], audio, in_lengths, self.w2v_cfg,
-            deterministic=deterministic, rng=rng, compute_dtype=compute_dtype,
+        if rng is not None:
+            rng, enc_rng, dec_rng = jax.random.split(rng, 3)
+        else:
+            enc_rng = dec_rng = None
+        memory, frame_mask = self._encode(
+            params, audio, in_lengths, compute_dtype,
+            deterministic=deterministic, rng=enc_rng,
         )
-        if not self.finetune_wav2vec:
-            h = jax.lax.stop_gradient(h)
         seg = params["seg"]
-        x = h.astype(compute_dtype)
-
-        def enc_body(carry, layer):
-            hh = carry
-            hn = layer_norm(hh, layer["ln1"]["scale"], layer["ln1"]["bias"], _EPS)
-            hh = hh + _attn_block(layer["attn"], hn, hn, self.n_enc_heads,
-                                  frame_mask, compute_dtype=compute_dtype)
-            hn = layer_norm(hh, layer["ln2"]["scale"], layer["ln2"]["bias"], _EPS)
-            hh = hh + _ffn_block(layer["ffn"], hn, compute_dtype)
-            return hh, None
-
-        x, _ = jax.lax.scan(enc_body, x, seg["encoder"])
-        memory = layer_norm(x, seg["shared_ln"]["scale"],
-                            seg["shared_ln"]["bias"], _EPS)
 
         emb = seg["tok_emb"][target_in] * math.sqrt(self.d_model)
         y = emb.astype(compute_dtype)
+        # no dropout on tgt_emb: the reference's PE (which carried it) is
+        # commented out (lib/models.py:127-128)
 
-        def dec_body(carry, layer):
-            yy = carry
+        def dec_body(carry, xs):
+            yy, i = carry
+            layer = xs
+            lrng = None if dec_rng is None else jax.random.fold_in(dec_rng, i)
+            rngs = jax.random.split(lrng, 4) if lrng is not None else [None] * 4
             yn = layer_norm(yy, layer["ln1"]["scale"], layer["ln1"]["bias"], _EPS)
-            yy = yy + _attn_block(layer["self_attn"], yn, yn, self.n_dec_heads,
-                                  tgt_mask, causal=True,
-                                  compute_dtype=compute_dtype)
+            a = _attn_block(layer["self_attn"], yn, yn, self.n_dec_heads,
+                            tgt_mask, causal=True,
+                            compute_dtype=compute_dtype)
+            yy = yy + _dropout(a, _LAYER_DROPOUT, deterministic, rngs[0])
             yn = layer_norm(yy, layer["ln2"]["scale"], layer["ln2"]["bias"], _EPS)
-            yy = yy + _attn_block(layer["cross_attn"], yn, memory,
-                                  self.n_dec_heads, frame_mask,
-                                  compute_dtype=compute_dtype)
+            a = _attn_block(layer["cross_attn"], yn, memory,
+                            self.n_dec_heads, frame_mask,
+                            compute_dtype=compute_dtype)
+            yy = yy + _dropout(a, _LAYER_DROPOUT, deterministic, rngs[1])
             yn = layer_norm(yy, layer["ln3"]["scale"], layer["ln3"]["bias"], _EPS)
-            yy = yy + _ffn_block(layer["ffn"], yn, compute_dtype)
-            return yy, None
+            f = _ffn_block(layer["ffn"], yn, compute_dtype,
+                           deterministic=deterministic, rng=rngs[2])
+            yy = yy + _dropout(f, _LAYER_DROPOUT, deterministic, rngs[3])
+            return (yy, i + 1), None
 
-        y, _ = jax.lax.scan(dec_body, y, seg["decoder"])
+        (y, _), _ = jax.lax.scan(dec_body, (y, 0), seg["decoder"])
         y = layer_norm(y, seg["shared_ln"]["scale"], seg["shared_ln"]["bias"],
                        _EPS)
         logits = y @ seg["out"]["w"].astype(compute_dtype) + \
             seg["out"]["b"].astype(compute_dtype)
         return logits.astype(jnp.float32)
 
-    def _encode(self, params, audio, in_lengths, compute_dtype):
-        """Shared encoder path: wav2vec2 -> 1-layer transformer -> shared LN
-        (the memory the decoder cross-attends to)."""
+    def _encode(self, params, audio, in_lengths, compute_dtype, *,
+                deterministic=True, rng=None):
+        """Shared encoder path: wav2vec2 -> init_dropout(src) -> 1-layer
+        transformer -> shared LN (the memory the decoder cross-attends to).
+
+        Dropout placement matches the reference TransformerEncoderDecoder
+        (lib/models.py:100-123): ``self.dropout(src)`` with init_dropout
+        before the encoder, plus the torch encoder-layer defaults (0.1
+        after self-attn, inside the FFN, after the FFN)."""
+        if rng is not None:
+            rng, w2v_rng, src_rng, layer_rng = jax.random.split(rng, 4)
+        else:
+            w2v_rng = src_rng = layer_rng = None
         h, frame_mask = wav2vec2_forward(
             params["wav2vec"], audio, in_lengths, self.w2v_cfg,
-            deterministic=True, compute_dtype=compute_dtype,
+            deterministic=deterministic, rng=w2v_rng,
+            compute_dtype=compute_dtype,
         )
+        if not self.finetune_wav2vec:
+            h = jax.lax.stop_gradient(h)
         seg = params["seg"]
-        x = h.astype(compute_dtype)
+        x = _dropout(h.astype(compute_dtype), self.init_dropout,
+                     deterministic, src_rng)
 
         def enc_body(carry, layer):
-            hh = carry
+            hh, i = carry
+            lrng = (None if layer_rng is None
+                    else jax.random.fold_in(layer_rng, i))
+            rngs = jax.random.split(lrng, 3) if lrng is not None else [None] * 3
             hn = layer_norm(hh, layer["ln1"]["scale"], layer["ln1"]["bias"], _EPS)
-            hh = hh + _attn_block(layer["attn"], hn, hn, self.n_enc_heads,
-                                  frame_mask, compute_dtype=compute_dtype)
+            a = _attn_block(layer["attn"], hn, hn, self.n_enc_heads,
+                            frame_mask, compute_dtype=compute_dtype)
+            hh = hh + _dropout(a, _LAYER_DROPOUT, deterministic, rngs[0])
             hn = layer_norm(hh, layer["ln2"]["scale"], layer["ln2"]["bias"], _EPS)
-            hh = hh + _ffn_block(layer["ffn"], hn, compute_dtype)
-            return hh, None
+            f = _ffn_block(layer["ffn"], hn, compute_dtype,
+                           deterministic=deterministic, rng=rngs[1])
+            hh = hh + _dropout(f, _LAYER_DROPOUT, deterministic, rngs[2])
+            return (hh, i + 1), None
 
-        x, _ = jax.lax.scan(enc_body, x, seg["encoder"])
+        (x, _), _ = jax.lax.scan(enc_body, (x, 0), seg["encoder"])
         memory = layer_norm(x, seg["shared_ln"]["scale"],
                             seg["shared_ln"]["bias"], _EPS)
         return memory, frame_mask
@@ -295,13 +325,12 @@ class AutoRegSegmenterImpl:
                 tokens.transpose(1, 0))
 
     def trainable_mask(self, params):
-        flag = 1.0 if self.finetune_wav2vec else 0.0
+        # scalar broadcastable leaves (shas._mask_like): a full-shaped mask
+        # tree would double param HBM residency at 300M params
         return {
-            "wav2vec": jax.tree.map(
-                lambda p: jnp.full(p.shape, flag, jnp.float32),
-                params["wav2vec"]),
-            "seg": jax.tree.map(
-                lambda p: jnp.ones(p.shape, jnp.float32), params["seg"]),
+            "wav2vec": _mask_like(
+                params["wav2vec"], 1.0 if self.finetune_wav2vec else 0.0),
+            "seg": _mask_like(params["seg"], 1.0),
         }
 
     @property

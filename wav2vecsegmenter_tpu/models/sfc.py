@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import attention_bthd
 from ..ops.layernorm import layer_norm
+from .wav2vec2 import _dropout
 
 _EPS = 1e-5
 
@@ -84,10 +85,9 @@ def sfc_forward(
 ) -> jax.Array:
     """Returns logits [B, T] (vocab_size==1 squeezed) or [B, T, V]."""
     h = x.astype(compute_dtype)
-    if not deterministic and rng is not None:
+    if rng is not None:
         rng, sub = jax.random.split(rng)
-        keep = jax.random.bernoulli(sub, 1.0 - dropout, h.shape)
-        h = jnp.where(keep, h / (1.0 - dropout), 0)
+        h = _dropout(h, dropout, deterministic, sub)
 
     if "layers" in params:
         def layer_body(carry, layer):
@@ -112,23 +112,17 @@ def sfc_forward(
             a = a.reshape(b, t, d_model)
             a = a @ layer["attn"]["o"]["w"].astype(compute_dtype) + \
                 layer["attn"]["o"]["b"].astype(compute_dtype)
-            if not deterministic and rngs[0] is not None:
-                keep = jax.random.bernoulli(rngs[0], 1.0 - dropout, a.shape)
-                a = jnp.where(keep, a / (1.0 - dropout), 0)
+            a = _dropout(a, dropout, deterministic, rngs[0])
             hh = hh + a
 
             hn = layer_norm(hh, layer["ln2"]["scale"], layer["ln2"]["bias"], _EPS)
             f = hn @ layer["ffn"]["w1"]["w"].astype(compute_dtype) + \
                 layer["ffn"]["w1"]["b"].astype(compute_dtype)
             f = jax.nn.gelu(f, approximate=False)
-            if not deterministic and rngs[1] is not None:
-                keep = jax.random.bernoulli(rngs[1], 1.0 - dropout, f.shape)
-                f = jnp.where(keep, f / (1.0 - dropout), 0)
+            f = _dropout(f, dropout, deterministic, rngs[1])
             f = f @ layer["ffn"]["w2"]["w"].astype(compute_dtype) + \
                 layer["ffn"]["w2"]["b"].astype(compute_dtype)
-            if not deterministic and rngs[2] is not None:
-                keep = jax.random.bernoulli(rngs[2], 1.0 - dropout, f.shape)
-                f = jnp.where(keep, f / (1.0 - dropout), 0)
+            f = _dropout(f, dropout, deterministic, rngs[2])
             hh = hh + f
             return (hh, i + 1), None
 

@@ -101,11 +101,40 @@ PRESETS: dict[str, dict] = {
 }
 
 
+def _preset_from_local_config(model_name: str) -> dict | None:
+    """Derive the architecture from a local HF model dir's config.json
+    (model_name may be a downloaded snapshot path instead of a hub id)."""
+    import json
+    import os
+
+    path = os.path.join(model_name, "config.json")
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        c = json.load(f)
+    return dict(
+        hidden_size=int(c["hidden_size"]),
+        num_layers=int(c["num_hidden_layers"]),
+        num_heads=int(c["num_attention_heads"]),
+        ffn_dim=int(c["intermediate_size"]),
+        feat_extract_norm=c.get("feat_extract_norm", "layer"),
+        do_stable_layer_norm=bool(c.get("do_stable_layer_norm", True)),
+        conv_bias=bool(c.get("conv_bias", True)),
+        feat_proj_dropout=float(c.get("feat_proj_dropout", 0.1)),
+        activation_dropout=float(c.get("activation_dropout", 0.0)),
+    )
+
+
 def config_for(model_name: str, keep_layers: int | None = None,
                ffn_adapter: bool = False) -> Wav2Vec2Config:
-    preset = PRESETS.get(model_name)
+    preset = PRESETS.get(model_name) or _preset_from_local_config(model_name)
     if preset is None:
-        preset = PRESETS["facebook/wav2vec2-xls-r-300m"]
+        # a silent xls-r fallback would train/convert a wrong-geometry model
+        # with the error surfacing far from the misconfigured name
+        raise ValueError(
+            f"Unknown wav2vec2 model '{model_name}'. Known presets: "
+            f"{sorted(PRESETS)}; or pass a local HF model directory "
+            f"containing config.json.")
     kwargs = dict(preset)
     if keep_layers is not None:
         kwargs["num_layers"] = min(keep_layers, kwargs["num_layers"])
@@ -553,9 +582,11 @@ def encoder(params: dict, x: jax.Array, frame_mask: jax.Array,
     eps = cfg.layer_norm_eps
     x = jnp.where(frame_mask[:, :, None], x, 0)
     x = x + positional_conv(params, x, cfg, compute_dtype)
-    if not cfg.do_stable_layer_norm:
-        x = layer_norm(x, params["encoder_pre_ln"]["scale"],
-                       params["encoder_pre_ln"]["bias"], eps)
+    # Truncation contract (reference lib/models.py:340-349): encoder.layer_norm
+    # is replaced by Identity for EVERY variant.  For the stable-LN models
+    # that's the post-layers final LN (not applied below); for the base
+    # (group-norm) models it is this PRE-layers LN — also not applied.  The
+    # weights stay in the param tree so reference .pt checkpoints round-trip.
     if not deterministic and rng is not None:
         rng, sub = jax.random.split(rng)
         x = _dropout(x, cfg.hidden_dropout, deterministic, sub)
