@@ -529,3 +529,55 @@ def test_fsdp_train_step_on_mesh(rng, monkeypatch):
                     jax.tree.leaves(state2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=1e-3)
+
+
+def test_epoch_end_accum_flush(rng):
+    """Reference train.py:474-480 steps the optimizer at epoch end even on
+    a partial accumulation (scaled sum/update_freq) and restarts
+    accumulation; make_accum_flush replicates that against MultiSteps."""
+    import optax
+
+    from wav2vecsegmenter_tpu.train.step import make_accum_flush
+
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    mask = model.trainable_mask(params)
+    opt = make_optimizer(1e-3, 100, 4, mask)  # update_freq=4
+    state = init_train_state(model, opt, jax.random.PRNGKey(1), params)
+    step = make_train_step(model, BCEWithLogitsLoss(None), "bce", 0, opt)
+    flush = make_accum_flush(opt)
+    assert flush is not None
+    assert make_accum_flush(make_optimizer(1e-3, 100, 1, mask)) is None
+
+    p0 = jax.tree.map(np.asarray, state.params)
+    for i in range(2):  # 2 of 4 micro-steps: no update applied yet
+        batch = _make_batch(rng, b=2, L=16000, t_out=50)
+        state, _ = step(state, batch, jax.random.PRNGKey(2 + i))
+    assert int(state.opt_state.mini_step) == 2
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # oracle: the reference applies inner_update(sum(grads)/update_freq)
+    ms = state.opt_state
+    grads = jax.tree.map(lambda g: g * (2.0 / 4.0), ms.acc_grads)
+    updates, _ = opt._w2vseg_inner.update(grads, ms.inner_opt_state,
+                                          state.params)
+    want = optax.apply_updates(state.params, updates)
+
+    state = flush(state)
+    assert int(state.opt_state.mini_step) == 0
+    assert int(state.opt_state.gradient_step) == 1
+    changed = any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(state.params)))
+    assert changed
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    # empty accumulator: flush is a no-op
+    p1 = jax.tree.map(np.asarray, state.params)
+    state = flush(state)
+    assert int(state.opt_state.gradient_step) == 1
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -77,8 +77,12 @@ def collate(
         L = len(wav)
         if device_normalize:
             # exact int16 round-trip (decoders produce int16/32768 floats):
-            # halves host->device bytes; the jitted forward rescales
-            audio[i, :L] = np.rint(wav * 32768.0).astype(np.int16)
+            # halves host->device bytes; the jitted forward rescales.
+            # Clip before the cast: a +full-scale sample from a 24/32-bit
+            # source rounds to 32768, which astype(int16) would WRAP to
+            # -32768 (sign-flipped spike)
+            audio[i, :L] = np.clip(
+                np.rint(wav * 32768.0), -32768, 32767).astype(np.int16)
         else:
             audio[i, :L] = wav
         in_lengths[i] = L

@@ -110,6 +110,18 @@ class BatchIterator:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """q.put that gives up when the consumer abandoned iteration —
+            a plain put would block forever on the full prefetch queue and
+            leak the producer + its pool for the life of the process."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_threads) as pool:
@@ -135,11 +147,12 @@ class BatchIterator:
                                 self.pad_token_id,
                                 device_normalize=self.device_normalize,
                             )
-                        q.put(batch)
+                        if not put_or_stop(batch):
+                            return
             except BaseException as e:  # surface worker errors to consumer
-                q.put(e)
+                put_or_stop(e)
                 return
-            q.put(None)
+            put_or_stop(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -181,6 +194,13 @@ class RandomDataloaderGenerator:
         self._rng = np.random.RandomState(seed)
         self.dataset = None
 
+    def skip_epoch_seeds(self, n: int) -> None:
+        """Advance the per-epoch seed stream without building datasets
+        (resume: a run restarted at epoch k must regenerate epoch k with
+        the same seed an uninterrupted run would have used)."""
+        for _ in range(max(0, int(n))):
+            self._rng.randint(0, 2**31 - 1)
+
     def generate(self) -> BatchIterator:
         seed = int(self._rng.randint(0, 2**31 - 1))
         self.dataset = RandomSegmentationDataset(
@@ -215,10 +235,12 @@ class FixedDataloaderGenerator:
         vocab=None,
         device_normalize: bool = False,
         remainder_ladder: bool = False,
+        min_multiple: int = 1,
     ) -> None:
         # right-size each talk's final partial batch (see _slots_for); the
         # train loop flips this from runtime.infer_remainder_ladder
         self.remainder_ladder = remainder_ladder
+        self.min_multiple = min_multiple
         self.device_normalize = device_normalize
         self.batch_size = batch_size
         self.num_workers = num_workers
@@ -245,6 +267,9 @@ class FixedDataloaderGenerator:
             sep_token_id=self.vocab.sep_token_id if self.vocab else 3,
             device_normalize=self.device_normalize and not self.autoregression,
             remainder_ladder=self.remainder_ladder,
+            # mesh runs need every ladder slot count divisible by the data
+            # axis (the train loop sets this alongside remainder_ladder)
+            min_multiple=self.min_multiple,
         )
 
     def get_talk_ids(self) -> list:

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import ctypes
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -15,13 +16,23 @@ import numpy as np
 NATIVE_DIR = Path(__file__).resolve().parents[2] / "native" / "audio"
 _LIB = None
 _TRIED = False
+_INIT_LOCK = threading.Lock()
 
 
 def _load():
     global _LIB, _TRIED
-    if _TRIED:
-        return _LIB
-    _TRIED = True
+    # loader pool threads race the first call: without the lock a second
+    # thread could see _TRIED mid-build and permanently report "no native
+    # loader" (or run `make` twice in the same directory)
+    with _INIT_LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        return _load_locked()
+
+
+def _load_locked():
+    global _LIB
     so = NATIVE_DIR / "libw2vaudio.so"
     try:
         if not so.exists():

@@ -170,11 +170,16 @@ class WindowInference:
 
 def nan_fill(arr: np.ndarray, duration: int) -> None:
     """Fill frames that never received a prediction with the mean of their
-    neighborhood (reference lib/evaluate.py:118-125); in-place."""
+    neighborhood (reference lib/evaluate.py:118-125); in-place.
+
+    For 2-D logits the reference's ``np.nanmean(talk_logits[lo:hi])`` has
+    NO axis — a single scalar over the whole [5, vocab] neighborhood, so
+    the gap row becomes a constant vector. Replicated exactly (a per-column
+    mean would change dac_logits/ce argmax on gap frames)."""
     nan_idx = np.where(np.isnan(arr if arr.ndim == 1 else arr[:, 0]))[0]
     for j in nan_idx:
         lo, hi = max(0, j - 2), min(duration, j + 3)
-        arr[j] = np.nanmean(arr[lo:hi], axis=0)
+        arr[j] = np.nanmean(arr[lo:hi])
 
 
 def dispatch_talk(engine: WindowInference, batches) -> list:

@@ -32,33 +32,36 @@ from .step import init_train_state, make_optimizer, make_train_step
 logger = logging.getLogger("wav2vecsegmenter_tpu")
 
 
+def _batch_arrays(b) -> dict:
+    """Host-array dict for one collated batch — the single source for both
+    the single-step and K-step device transfers (a field added in only one
+    of them would silently diverge the two train paths)."""
+    from ..data.collate import AutoRegBatch
+
+    if isinstance(b, AutoRegBatch):
+        return {
+            "audio": b.audio, "in_lengths": b.in_lengths,
+            "in_target": b.in_target, "out_target": b.out_target,
+            "src_mask": b.src_mask, "tgt_mask": b.tgt_mask,
+        }
+    out = {
+        "audio": b.audio, "in_lengths": b.in_lengths,
+        "target": b.target if b.target is not None else
+        np.zeros_like(b.out_mask, np.float32),
+        "out_mask": b.out_mask,
+    }
+    if b.device_normalize:
+        out["included"] = b.included
+        out["norm_length"] = np.asarray(b.norm_length, np.int32)
+    return out
+
+
 def _stack_batches_to_device(group, mesh):
     """Stack K same-shape host batches into [K, ...] arrays with ONE device
     transfer (stacking on device would cost K eager dispatches)."""
-    import jax
-
-    from ..data.collate import AutoRegBatch
     from ..parallel.mesh import replicated
 
-    def arrays_of(b):
-        if isinstance(b, AutoRegBatch):
-            return {
-                "audio": b.audio, "in_lengths": b.in_lengths,
-                "in_target": b.in_target, "out_target": b.out_target,
-                "src_mask": b.src_mask, "tgt_mask": b.tgt_mask,
-            }
-        out = {
-            "audio": b.audio, "in_lengths": b.in_lengths,
-            "target": b.target if b.target is not None else
-            np.zeros_like(b.out_mask, np.float32),
-            "out_mask": b.out_mask,
-        }
-        if b.device_normalize:
-            out["included"] = b.included
-            out["norm_length"] = np.asarray(b.norm_length, np.int32)
-        return out
-
-    dicts = [arrays_of(b) for b in group]
+    dicts = [_batch_arrays(b) for b in group]
     stacked = {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
     # one device_put for the whole dict: per-transfer round-trip latency
     # dominates on remote-execution runtimes (~29 ms RTT per put on axon)
@@ -76,35 +79,11 @@ def _stack_batches_to_device(group, mesh):
 
 
 def _batch_to_device(batch, mesh):
-    import jax
+    from ..parallel.mesh import batch_sharding, replicated
 
-    from ..data.collate import AutoRegBatch
-    from ..parallel.mesh import batch_sharding
-
-    if isinstance(batch, AutoRegBatch):
-        arrays = {
-            "audio": batch.audio,
-            "in_lengths": batch.in_lengths,
-            "in_target": batch.in_target,
-            "out_target": batch.out_target,
-            "src_mask": batch.src_mask,
-            "tgt_mask": batch.tgt_mask,
-        }
-    else:
-        arrays = {
-            "audio": batch.audio,
-            "in_lengths": batch.in_lengths,
-            "target": batch.target if batch.target is not None else
-            np.zeros_like(batch.out_mask, np.float32),
-            "out_mask": batch.out_mask,
-        }
-        if batch.device_normalize:
-            arrays["included"] = batch.included
-            arrays["norm_length"] = np.asarray(batch.norm_length, np.int32)
+    arrays = _batch_arrays(batch)
     if mesh is None:
         return jax.device_put(arrays)  # one transfer for the whole dict
-    from ..parallel.mesh import replicated
-
     sh = batch_sharding(mesh)
     rep = replicated(mesh)
     return jax.device_put(
@@ -227,6 +206,10 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
     if hasattr(eval_gen, "remainder_ladder"):
         eval_gen.remainder_ladder = bool(rt.get("infer_remainder_ladder",
                                                 False))
+        if multiprocess and mesh is not None:
+            # the multi-host eval engine shards batches over the data axis:
+            # every ladder slot count must stay divisible by it
+            eval_gen.min_multiple = n_data
 
     from ..cli.common import build_model
 
@@ -303,6 +286,12 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
         if meta.get("best_checkpoint"):
             cand = checkpoints_path / meta["best_checkpoint"]
             best_checkpoint = cand if cand.exists() else None
+        if start_epoch > 0 and hasattr(train_gen, "skip_epoch_seeds"):
+            # continue the per-epoch random-segmentation seed stream where
+            # the crashed run left off: the pre-loop generate() consumed
+            # seed #1, epoch start_epoch must regenerate with seed
+            # #(start_epoch+1) — not replay the epochs already trained on
+            train_gen.skip_epoch_seeds(start_epoch - 1)
         logger.info(
             "Resumed from %s at epoch %d (global_step=%d, %d rotating "
             "ckpts, best_%s=%.4f)",
@@ -346,6 +335,12 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                 save_orbax(best_checkpoint, tree)
 
     train_step = None
+    from .step import make_accum_flush
+
+    # reference train.py:477: the optimizer steps at epoch end even on a
+    # partial accumulation; None when update_freq == 1
+    accum_flush = make_accum_flush(optimizer, mesh=mesh,
+                                   state_shardings=state_sh)
     engine = WindowInference(
         model, state.params, loss_tag=config.task.loss.tag,
         compute_dtype=compute_dtype, vocab=vocab,
@@ -559,6 +554,10 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                     run_single(b)
                 n_single += len(q)
                 after_steps()
+        if accum_flush is not None:
+            # apply any partial gradient accumulation before eval/ckpt
+            # (reference steps the optimizer at step == steps_in_epoch)
+            state = accum_flush(state)
         if trace_started and global_step >= trace_stop_at:
             # the trace target fell inside the epoch-tail drain, where the
             # in-loop stop check never runs: flush before eval

@@ -54,8 +54,64 @@ def make_optimizer(learning_rate: float, total_steps: int, update_freq: int,
         _mask_updates(mask_tree),
     )
     if update_freq > 1:
+        inner = tx
         tx = optax.MultiSteps(tx, every_k_schedule=update_freq)
+        # stashed for make_accum_flush (the reference applies the partial
+        # accumulation at epoch end, train.py:477)
+        tx._w2vseg_inner = inner
+        tx._w2vseg_every_k = update_freq
     return tx
+
+
+def make_accum_flush(optimizer, mesh=None, state_shardings=None):
+    """Epoch-end partial-accumulation flush, or None when the optimizer
+    does not accumulate.
+
+    The reference steps the optimizer at ``step == steps_in_epoch`` even
+    mid-accumulation and zeroes the grads (train.py:474-480), restarting
+    accumulation each epoch; optax.MultiSteps alone would carry the
+    remainder across the epoch boundary and never apply the run's final
+    partial accumulation.  Scaling matches the reference exactly: it
+    backprops ``loss/update_freq`` per micro-batch, so a partial flush of
+    r < k micro-batches applies sum(grads)/k — MultiSteps stores the
+    running MEAN over r, hence the r/k rescale."""
+    inner = getattr(optimizer, "_w2vseg_inner", None)
+    if inner is None:
+        return None
+    k = optimizer._w2vseg_every_k
+
+    def flush(state: TrainState) -> TrainState:
+        ms = state.opt_state
+
+        def do_flush(operand):
+            params, ms = operand
+            r = ms.mini_step.astype(jnp.float32)
+            grads = jax.tree.map(lambda g: g * (r / k), ms.acc_grads)
+            updates, new_inner = inner.update(grads, ms.inner_opt_state,
+                                              params)
+            new_params = optax.apply_updates(params, updates)
+            new_ms = ms._replace(
+                mini_step=jnp.zeros_like(ms.mini_step),
+                gradient_step=ms.gradient_step + 1,
+                inner_opt_state=new_inner,
+                acc_grads=jax.tree.map(jnp.zeros_like, ms.acc_grads),
+            )
+            return new_params, new_ms
+
+        def no_op(operand):
+            return operand
+
+        new_params, new_ms = jax.lax.cond(
+            ms.mini_step > 0, do_flush, no_op, (state.params, ms))
+        return TrainState(new_params, new_ms, state.step)
+
+    if mesh is not None:
+        rep = replicated(mesh)
+        state_sh = (TrainState(rep, rep, rep) if state_shardings is None
+                    else state_shardings)
+        return jax.jit(flush, in_shardings=(state_sh,),
+                       out_shardings=state_sh, donate_argnums=(0,))
+    return jax.jit(flush, donate_argnums=(0,))
 
 
 def _mask_updates(mask_tree):
