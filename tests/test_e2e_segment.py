@@ -161,3 +161,72 @@ def test_remainder_ladder_matches_full_padding(workspace):
     padded = (out_padded / "custom_segments.yaml").read_bytes()
     assert ladder == padded
     assert len(yaml.safe_load(ladder)) > 0
+
+
+def test_inference_st_pipe_cli_end_to_end(workspace, tmp_path, monkeypatch):
+    """Full L5+L6 path through cli/inference_st_pipe.main: checkpoint from a
+    training outputs dir, segmentation, dataset prep, fake fairseq-generate
+    (joint-s2t dispatch, reference inference_st_pipe.py:96-111), native mWER
+    alignment, sacreBLEU (reference inference_st_pipe.py:53-214)."""
+    import os
+    import stat
+
+    # training outputs dir: ckpts/<name> + .hydra/config.yaml
+    outputs = tmp_path / "outputs"
+    (outputs / "e2e" / "ckpts").mkdir(parents=True)
+    (outputs / ".hydra").mkdir()
+    import shutil
+
+    shutil.copytree(workspace / "ckpt", outputs / "e2e" / "ckpts" / "best")
+    from wav2vecsegmenter_tpu.config import load_config, save_config
+
+    train_cfg = load_config(workspace / "train_config.yaml")
+    train_cfg["exp_name"] = "e2e"
+    save_config(train_cfg, outputs / ".hydra" / "config.yaml")
+
+    # corpus texts for the 2-segment original segmentation
+    (workspace / "txt" / "orig.en").write_text(
+        "hello world this is the very first segment\n"
+        "and here comes the second longer segment indeed\n")
+    (workspace / "txt" / "orig.de").write_text(
+        "hallo welt dies ist das allererste segment\n"
+        "und hier kommt das zweite laengere segment tatsaechlich\n")
+
+    # fake fairseq-generate on PATH
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    fake = bindir / "fairseq-generate"
+    fake.write_text(
+        "#!/bin/bash\n"
+        "echo 'D-0 -0.1 hallo welt dies ist das allererste segment und hier'\n"
+        "echo 'D-1 -0.2 kommt das zweite laengere segment tatsaechlich'\n"
+    )
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    from wav2vecsegmenter_tpu.cli.inference_st_pipe import main
+
+    results = main([
+        f"outputs={outputs}",
+        "ckpt=best",
+        "algorithm=dac",
+        "algorithm.max_segment_length=10",
+        f"st_model_dir={tmp_path}/models/joint-s2t-mustc-en-de",
+        "st_metrics=[bleu]",
+        f"infer_data.wav_dir={workspace}/wav",
+        f"infer_data.orig_seg_yaml={workspace}/txt/orig.yaml",
+        f"infer_data.orig_src_txt={workspace}/txt/orig.en",
+        f"infer_data.orig_tgt_txt={workspace}/txt/orig.de",
+        "batch_size=3",
+        "runtime.kernels=xla",
+        "runtime.compute_dtype=float32",
+        "runtime.mesh.data=1",
+    ])
+
+    assert results["eval_st_n_segments_dac"] > 0
+    assert results["eval_st_bleu_dac"] == pytest.approx(100.0)
+    rp = outputs / "infer_outputs"
+    assert (rp / "custom_segments.yaml").exists()
+    assert (rp / "score.sacrebleu").exists()
+    tsv = rp / "custom_segments.tsv"
+    assert tsv.exists() and len(tsv.read_text().splitlines()) > 1

@@ -212,3 +212,40 @@ def test_eval_st_end_to_end(tmp_path, monkeypatch):
         "hallo welt dies ist das allererste segment",
         "und hier kommt das zweite laengere segment tatsaechlich",
     ]
+
+
+def test_fairseq_generate_cmd_styles(tmp_path):
+    """Command-line parity: the in-training eval command always targets the
+    joint-s2t task with --skip-invalid-size-inputs-valid-test (reference
+    train.py:130-148); the standalone ST-pipe CLI dispatches on the model
+    dir basename and rejects unknown models (inference_st_pipe.py:96-124)."""
+    from wav2vecsegmenter_tpu.config import Config
+    from wav2vecsegmenter_tpu.stpipe.eval_st import fairseq_generate_cmd
+
+    def cfg(model_dir):
+        return Config({
+            "st_model_dir": model_dir,
+            "st_ckpt": "ckpt.pt",
+            "cust_seg_yaml": "custom_segments.yaml",
+            "fairseq_root": "/fsq",
+        })
+
+    rp = tmp_path
+    train_cmd = fairseq_generate_cmd(cfg("/models/whatever"), rp)
+    assert "--skip-invalid-size-inputs-valid-test" in train_cmd
+    assert "--task speech_text_joint_to_text" in train_cmd
+
+    joint = fairseq_generate_cmd(
+        cfg("/models/joint-s2t-mustc-en-de"), rp, style="cli")
+    assert "--task speech_text_joint_to_text" in joint
+    assert "--skip-invalid-size-inputs-valid-test" not in joint
+    assert "--load-speech-only" in joint
+
+    multi = fairseq_generate_cmd(
+        cfg("/models/mustc_multilingual_st"), rp, style="cli")
+    assert "--task speech_to_text" in multi
+    assert "--prefix-size 1" in multi
+    assert "--max-tokens 50000" in multi
+
+    with pytest.raises(ValueError, match="Unknown model dir"):
+        fairseq_generate_cmd(cfg("/models/other"), rp, style="cli")

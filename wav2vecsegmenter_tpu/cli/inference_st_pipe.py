@@ -36,7 +36,8 @@ def main(argv: list[str] | None = None) -> dict:
 
     yaml_content = generate(config)
     algorithm = config.algorithm.tag
-    results = eval_st(config, yaml_content, results_path, algorithm)
+    results = eval_st(config, yaml_content, results_path, algorithm,
+                      cmd_style="cli")
     logger.info("ST results: %s", results)
     if run is not None:
         st_results_tables(run, wandb_name, results, algorithm,

@@ -25,9 +25,48 @@ from .xml import original_segmentation_to_xml
 logger = logging.getLogger("wav2vecsegmenter_tpu")
 
 
-def fairseq_generate_cmd(infer_config: Config, results_path: Path) -> str:
-    """Build the fairseq-generate command line
-    (reference train.py:130-145 / inference_st_pipe.py:96-125)."""
+def fairseq_generate_cmd(
+    infer_config: Config, results_path: Path, style: str = "train"
+) -> str:
+    """Build the fairseq-generate command line.
+
+    ``style="train"`` reproduces the in-training eval command (reference
+    train.py:130-148: always the joint-s2t task, with
+    ``--skip-invalid-size-inputs-valid-test``).  ``style="cli"`` reproduces
+    the standalone ST-pipe entry (reference inference_st_pipe.py:96-124),
+    which dispatches on the ST model directory's basename and rejects
+    unknown models.
+    """
+    if style == "cli":
+        st_base = Path(str(infer_config.st_model_dir)).name
+        if st_base == "joint-s2t-mustc-en-de":
+            return (
+                f"fairseq-generate {results_path}"
+                " --task speech_text_joint_to_text"
+                " --max-tokens 100000"
+                " --max-source-positions 12000"
+                " --nbest 1"
+                " --batch-size 128"
+                f" --path {infer_config.st_model_dir}/{infer_config.st_ckpt}"
+                f" --gen-subset {Path(infer_config.cust_seg_yaml).stem}"
+                f" --config-yaml {infer_config.st_model_dir}/config.yaml"
+                " --beam 5"
+                " --lenpen 1.0"
+                f" --user-dir {infer_config.fairseq_root}/examples/speech_text_joint_to_text"
+                f" --load-speech-only > {results_path}/translations.txt"
+            )
+        if st_base == "mustc_multilingual_st":
+            return (
+                f"fairseq-generate {results_path}"
+                " --task speech_to_text"
+                f" --path {infer_config.st_model_dir}/{infer_config.st_ckpt}"
+                f" --gen-subset {Path(infer_config.cust_seg_yaml).stem}"
+                f" --config-yaml {infer_config.st_model_dir}/config.yaml"
+                " --max-tokens 50000"
+                " --beam 5"
+                f" --prefix-size 1 > {results_path}/translations.txt"
+            )
+        raise ValueError("Unknown model dir")
     return (
         f"fairseq-generate {results_path}"
         " --task speech_text_joint_to_text"
@@ -51,6 +90,7 @@ def eval_st(
     yaml_content: list[dict],
     results_path: Path,
     algorithm: str,
+    cmd_style: str = "train",
 ) -> dict:
     """Run translate+align+score for an already-generated segmentation.
 
@@ -72,7 +112,7 @@ def eval_st(
         0,
     )
 
-    cmd = fairseq_generate_cmd(infer_config, results_path)
+    cmd = fairseq_generate_cmd(infer_config, results_path, style=cmd_style)
     logger.info("Running: %s", cmd)
     proc = subprocess.run(cmd, shell=True)
     if proc.returncode != 0 or not (results_path / "translations.txt").exists():

@@ -59,7 +59,8 @@ def score_sentence_bertscore(path_to_ref_txt: str, path_to_hyp_txt: str,
             "bert_score not installed; per-sentence BERTScore unavailable"
         ) from e
     reference, hypothesis = get_parallel(path_to_ref_txt, path_to_hyp_txt)
-    p, r, f1 = bertscore_score(hypothesis, reference, lang=lang)
+    p, r, f1 = bertscore_score(hypothesis, reference, lang=lang,
+                               rescale_with_baseline=True, verbose=False)
     p, r, f1 = p.tolist(), r.tolist(), f1.tolist()
     if path_to_output:
         with open(path_to_output, "w") as f:
@@ -76,7 +77,8 @@ def score_bertscore(path_to_ref_txt: str, path_to_hyp_txt: str, lang: str):
             "bert_score not installed; drop 'bertscore' from st_metrics"
         ) from e
     reference, hypothesis = get_parallel(path_to_ref_txt, path_to_hyp_txt)
-    p, r, f1 = bertscore_score(hypothesis, reference, lang=lang)
+    p, r, f1 = bertscore_score(hypothesis, reference, lang=lang,
+                               rescale_with_baseline=True, verbose=False)
     return float(p.mean()), float(r.mean()), float(f1.mean())
 
 
