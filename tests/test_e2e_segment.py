@@ -230,3 +230,41 @@ def test_inference_st_pipe_cli_end_to_end(workspace, tmp_path, monkeypatch):
     assert (rp / "score.sacrebleu").exists()
     tsv = rp / "custom_segments.tsv"
     assert tsv.exists() and len(tsv.read_text().splitlines()) > 1
+
+
+def test_inference_cli_end_to_end(workspace, tmp_path):
+    """cli/inference.main: checkpoint resolved from outputs/<exp>/ckpts,
+    training config merged from outputs/.hydra, yaml-dumped segmentation in
+    the results dir (reference inference.py:156-193)."""
+    import shutil
+
+    outputs = tmp_path / "outputs"
+    (outputs / "e2e" / "ckpts").mkdir(parents=True)
+    (outputs / ".hydra").mkdir()
+    shutil.copytree(workspace / "ckpt", outputs / "e2e" / "ckpts" / "best")
+    from wav2vecsegmenter_tpu.config import load_config, save_config
+
+    train_cfg = load_config(workspace / "train_config.yaml")
+    train_cfg["exp_name"] = "e2e"
+    save_config(train_cfg, outputs / ".hydra" / "config.yaml")
+
+    from wav2vecsegmenter_tpu.cli.inference import main
+
+    yaml_content = main([
+        f"outputs={outputs}",
+        "ckpt=best",
+        "algorithm=pthr",
+        f"infer_data.wav_dir={workspace}/wav",
+        f"infer_data.orig_seg_yaml={workspace}/txt/orig.yaml",
+        "batch_size=3",
+        "runtime.kernels=xla",
+        "runtime.compute_dtype=float32",
+        "runtime.mesh.data=1",
+    ])
+    assert len(yaml_content) > 0
+    saved = yaml.safe_load(
+        open(outputs / "infer_outputs" / "custom_segments.yaml"))
+    assert saved == yaml.safe_load(yaml.dump(yaml_content))
+    for row in saved:
+        assert set(row) == {"duration", "offset", "rW", "uW", "speaker_id",
+                            "wav"}
