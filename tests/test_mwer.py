@@ -93,3 +93,48 @@ def test_normalization_lowercases_and_splits_punct(binary, tmp_path):
     )
     segments = (tmp_path / "__segments").read_text().splitlines()
     assert segments == ["hello , world !", "good bye ."]
+
+
+def test_get_statistics_cli(tmp_path, monkeypatch):
+    """cli/get_statistics.main: mWER -mref alignment of __translation vs
+    __mreference, per-sentence BLEU, BERTScore (stubbed), and the
+    sentence_statistics.tsv layout (reference
+    lib/analysis/get_statistics.py:18-76)."""
+    import csv
+
+    import yaml
+
+    work = tmp_path
+    # 2 hypothesis sentences, 2 reference segments, same words
+    (work / "__translation").write_text(
+        "der hund läuft schnell\ndie katze schläft\n")
+    (work / "__mreference").write_text(
+        "der hund läuft\nschnell die katze schläft\n")
+    yaml.safe_dump(
+        [{"duration": 3.5, "offset": 0.0, "rW": 0, "uW": 0,
+          "speaker_id": "NA", "wav": "t.wav"},
+         {"duration": 2.0, "offset": 3.5, "rW": 0, "uW": 0,
+          "speaker_id": "NA", "wav": "t.wav"}],
+        open(work / "custom_segments.yaml", "w"))
+
+    from wav2vecsegmenter_tpu.cli import get_statistics as gs
+
+    monkeypatch.setattr(
+        gs, "score_sentence_bertscore",
+        lambda *a, **k: ([0.5, 0.6], [0.4, 0.7], [0.45, 0.65]))
+    out = gs.main([str(work), "de"])
+
+    assert out.exists()
+    rows = list(csv.reader(open(out), delimiter="\t"))
+    assert rows[0] == ["Duration", "Hyp", "Ref", "BLEU", "BERTScore(P)",
+                       "BERTScore(R)", "BERTScore(F1)"]
+    assert len(rows) == 3
+    assert rows[1][0] == "3.5" and rows[2][0] == "2.0"
+    # Hyp column = __translation lines; Ref column = the realigned
+    # __segments lines the mWER -mref pass produced
+    segs = (work / "statistics" / "__segments").read_text().splitlines()
+    assert [rows[1][1], rows[2][1]] == [
+        "der hund läuft schnell", "die katze schläft"]
+    assert [rows[1][2], rows[2][2]] == segs
+    assert segs == ["der hund läuft schnell", "die katze schläft"]
+    assert rows[1][4] == "0.5" and rows[2][6] == "0.65"
