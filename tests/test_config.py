@@ -103,3 +103,37 @@ def test_all_config_groups_compose():
     for path in sorted((CONF / "st_eval").glob("*.yaml")):
         cfg = compose(CONF, "train", overrides=[f"st_eval={path.stem}"])
         assert cfg.st_eval.algorithm is not None
+
+
+def test_expand_sweeps_and_override_dirname():
+    """Hydra basic-sweeper expansion and ${hydra.job.override_dirname}
+    semantics (cli/common.py): top-level commas sweep, bracketed commas
+    don't; dirname is sorted key=value joined by ',' with excluded keys
+    (and their dotted subkeys) dropped."""
+    from wav2vecsegmenter_tpu.cli.common import (
+        expand_sweeps,
+        hydra_override_dirname,
+        parse_cli,
+    )
+
+    multirun, overrides = parse_cli(
+        ["-m", "a=1,2", "b=[x,y]", "c.d=z", "--flag"])
+    assert multirun and overrides == ["a=1,2", "b=[x,y]", "c.d=z"]
+    jobs = expand_sweeps(overrides)
+    assert jobs == [
+        ["a=1", "b=[x,y]", "c.d=z"],
+        ["a=2", "b=[x,y]", "c.d=z"],
+    ]
+    assert not parse_cli(["a=1"])[0]
+
+    name = hydra_override_dirname(
+        ["outputs=/o", "ckpt=best", "+algorithm.threshold=0.5",
+         "runtime.mesh.data=8", "batch_size=3"],
+        exclude_keys=["outputs", "batch_size", "runtime"],
+    )
+    assert name == "algorithm.threshold=0.5,ckpt=best"
+
+    # 3-way cartesian product, last dimension fastest
+    jobs = expand_sweeps(["a=1,2", "b=x,y"])
+    assert jobs == [["a=1", "b=x"], ["a=1", "b=y"],
+                    ["a=2", "b=x"], ["a=2", "b=y"]]

@@ -61,6 +61,10 @@ def _run_segment(workspace, out_name, extra_overrides):
         "runtime.kernels=xla",
         "runtime.compute_dtype=float32",
         "+_tiny_test_model=true",
+        # pin the artifacts to out_dir itself (hydra-style run dirs would
+        # otherwise nest them under the override_dirname; covered by
+        # test_hydra_run_dirs_and_multirun)
+        f"+results_path={out_dir}",
         *extra_overrides,
     ]
     return main(argv), out_dir
@@ -221,6 +225,7 @@ def test_inference_st_pipe_cli_end_to_end(workspace, tmp_path, monkeypatch):
         "runtime.kernels=xla",
         "runtime.compute_dtype=float32",
         "runtime.mesh.data=1",
+        f"+results_path={outputs}/infer_outputs",
     ])
 
     assert results["eval_st_n_segments_dac"] > 0
@@ -260,6 +265,7 @@ def test_inference_cli_end_to_end(workspace, tmp_path):
         "runtime.kernels=xla",
         "runtime.compute_dtype=float32",
         "runtime.mesh.data=1",
+        f"+results_path={outputs}/infer_outputs",
     ])
     assert len(yaml_content) > 0
     saved = yaml.safe_load(
@@ -268,3 +274,53 @@ def test_inference_cli_end_to_end(workspace, tmp_path):
     for row in saved:
         assert set(row) == {"duration", "offset", "rW", "uW", "speaker_id",
                             "wav"}
+
+
+def test_hydra_run_dirs_and_multirun(workspace, tmp_path):
+    """-m sweeps (hydra basic-sweeper surface, reference README "Parameter
+    search") run one job per comma-choice with results in
+    outputs/infer_outputs/<override_dirname> (conf hydra block mirroring
+    reference conf/inference.yaml:30-43)."""
+    import shutil
+
+    outputs = tmp_path / "outputs"
+    (outputs / "e2e" / "ckpts").mkdir(parents=True)
+    (outputs / ".hydra").mkdir()
+    shutil.copytree(workspace / "ckpt", outputs / "e2e" / "ckpts" / "best")
+    from wav2vecsegmenter_tpu.config import load_config, save_config
+
+    train_cfg = load_config(workspace / "train_config.yaml")
+    train_cfg["exp_name"] = "e2e"
+    save_config(train_cfg, outputs / ".hydra" / "config.yaml")
+
+    from wav2vecsegmenter_tpu.cli.inference import main
+
+    results = main([
+        "-m",
+        f"outputs={outputs}",
+        "ckpt=best",
+        "algorithm=pthr",
+        "algorithm.threshold=0.2,0.8",
+        f"infer_data.wav_dir={workspace}/wav",
+        f"infer_data.orig_seg_yaml={workspace}/txt/orig.yaml",
+        "batch_size=3",
+        "runtime.kernels=xla",
+        "runtime.compute_dtype=float32",
+        "runtime.mesh.data=1",
+    ])
+    # one job per threshold, in sweep order
+    assert isinstance(results, list) and len(results) == 2
+    yamls = sorted((outputs / "infer_outputs").rglob("custom_segments.yaml"))
+    assert len(yamls) == 2
+    # run dirs are named by the (sorted, filtered) overrides: excluded keys
+    # (outputs, batch_size, runtime.*) absent, threshold value present
+    dirs = [str(y.parent.relative_to(outputs / "infer_outputs"))
+            for y in yamls]
+    for d, thr in zip(dirs, ["0.2", "0.8"]):
+        assert f"algorithm.threshold={thr}" in d
+        assert "algorithm=pthr" in d and "ckpt=best" in d
+        assert "outputs=" not in d and "runtime" not in d
+        assert "batch_size" not in d
+    # each job's saved yaml matches its returned rows
+    for y, rows in zip(yamls, results):
+        assert yaml.safe_load(open(y)) == yaml.safe_load(yaml.dump(rows))

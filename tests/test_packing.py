@@ -171,6 +171,7 @@ def test_segment_cli_pack_across_talks(tmp_path):
                 f"ckpt_path={ws}/ckpt",
                 f"config_path={ws}/train_config.yaml",
                 f"output_dir={ws / name}",
+                f"+results_path={ws / name}",
                 f"infer_data.wav_dir={wav_dir}",
                 f"infer_data.orig_seg_yaml={txt_dir}/orig.yaml",
                 "algorithm=pthr",

@@ -32,9 +32,103 @@ from ..ops.backend import set_backend
 logger = logging.getLogger("wav2vecsegmenter_tpu")
 
 
+CONF_DIR = Path(__file__).resolve().parents[2] / "conf"
+
+
 def parse_overrides(argv: list[str] | None = None) -> list[str]:
     argv = sys.argv[1:] if argv is None else argv
     return [a for a in argv if "=" in a and not a.startswith("--")]
+
+
+def parse_cli(argv: list[str] | None = None) -> tuple[bool, list[str]]:
+    """(multirun, overrides): hydra CLI surface — ``-m``/``--multirun``
+    turns comma-separated override values into a sweep (reference README
+    "Parameter search", inference_st_pipe.py with Hydra's basic sweeper)."""
+    argv = sys.argv[1:] if argv is None else argv
+    multirun = any(a in ("-m", "--multirun") for a in argv)
+    return multirun, parse_overrides(argv)
+
+
+def _split_sweep(value: str) -> list[str]:
+    """Split a CLI override value on top-level commas (commas inside
+    [...]/{...} belong to yaml lists, not sweeps)."""
+    parts, depth, cur = [], 0, []
+    for ch in value:
+        if ch in "[{":
+            depth += 1
+        elif ch in "]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def expand_sweeps(overrides: list[str]) -> list[list[str]]:
+    """Hydra basic-sweeper semantics: every override with top-level commas
+    is a choice dimension; jobs are the cartesian product (last dimension
+    varies fastest, like hydra's job numbering)."""
+    import itertools
+
+    dims = []
+    for ov in overrides:
+        key, _, raw = ov.partition("=")
+        dims.append([f"{key}={v}" for v in _split_sweep(raw)])
+    return [list(combo) for combo in itertools.product(*dims)]
+
+
+def hydra_override_dirname(overrides: list[str],
+                           exclude_keys=()) -> str:
+    """Hydra's ``${hydra.job.override_dirname}``: the CLI overrides as
+    ``key=value`` sorted by key and joined with ','.  ``exclude_keys``
+    entries drop both the exact key and (extension for this framework's
+    ``runtime`` block) any dotted subkey of an excluded prefix."""
+    exclude = set(exclude_keys or ())
+    items = []
+    for ov in overrides:
+        key, _, val = ov.partition("=")
+        k = key.lstrip("+~")
+        if k in exclude or any(k.startswith(e + ".") for e in exclude):
+            continue
+        items.append((k, f"{k}={val}"))
+    return ",".join(s for _, s in sorted(items))
+
+
+def compose_app(config_name: str, overrides: list[str],
+                multirun: bool = False):
+    """Compose an app config and resolve its hydra-style run directory.
+
+    Mirrors the reference's hydra blocks (conf/segment.yaml:16-29,
+    conf/inference.yaml:30-43): ``hydra.run.dir`` for single runs,
+    ``hydra.sweep.dir``/``subdir`` for multirun jobs, both interpolating
+    ``${hydra.job.override_dirname}``.  Returns (config, run_dir or None).
+    """
+    from ..config import compose, resolve
+
+    cfg = compose(CONF_DIR, config_name, overrides, resolve_interp=False)
+    hnode = cfg.get("hydra") or {}
+    exclude = (
+        cfg.select("hydra.job.config.override_dirname.exclude_keys") or []
+    )
+    dirname = hydra_override_dirname(overrides, exclude)
+    if hnode:
+        cfg.update_path("hydra.job.override_dirname", dirname)
+    cfg = resolve(cfg)
+    run_dir = None
+    h = cfg.get("hydra") or {}
+    if multirun:
+        sweep = h.get("sweep") if isinstance(h, dict) else None
+        if sweep and sweep.get("dir") is not None:
+            run_dir = Path(str(sweep["dir"])) / str(
+                sweep.get("subdir", dirname))
+    else:
+        run = h.get("run") if isinstance(h, dict) else None
+        if run and run.get("dir") is not None:
+            run_dir = Path(str(run["dir"]))
+    return cfg, run_dir
 
 
 def init_logging(config: Config, logfile: str = "log") -> None:

@@ -1,10 +1,12 @@
 """Batch inference CLI: checkpoint from a training outputs dir ->
 custom_segments.yaml over a wav directory.
 
-Usage (same surface as reference inference.py:156-193):
+Usage (same surface as reference inference.py:156-193, incl. ``-m``
+multirun sweeps and per-override run dirs from the conf hydra block):
 
     python inference.py outputs=/path/to/run ckpt=epoch-15_best_eval_f1 \
         algorithm=dac infer_data=mustc_ende_tst-COMMON [key=value ...]
+    python inference.py -m ... algorithm.max_segment_length=10,12,14 ...
 """
 
 from __future__ import annotations
@@ -13,14 +15,16 @@ from pathlib import Path
 
 import yaml
 
-from ..config import compose, load_config, merge
+from ..config import load_config, merge
 from .common import (
     apply_runtime,
     build_model,
+    compose_app,
+    expand_sweeps,
     init_logging,
     load_params,
     logger,
-    parse_overrides,
+    parse_cli,
     segment_wavs,
     wavs_from_dir,
 )
@@ -50,8 +54,9 @@ def generate(config) -> list[dict]:
     )
 
 
-def compose_with_base(overrides: list[str]):
-    config = compose(CONF_DIR, "inference", overrides)
+def merge_base(config):
+    """Merge the training run's saved config under the CLI config
+    (reference inference_st_pipe.py:55-57)."""
     if config.get("base_cfg"):
         base = Path(config.base_cfg) / "config.yaml"
         if base.exists():
@@ -59,11 +64,34 @@ def compose_with_base(overrides: list[str]):
     return config
 
 
-def main(argv: list[str] | None = None) -> list[dict]:
-    overrides = parse_overrides(argv)
-    config = compose_with_base(overrides)
-    out_dir = Path(config.get("results_path") or
-                   Path(config.outputs) / "infer_outputs")
+def compose_with_base(overrides: list[str]):
+    """Single-run compose (kept for in-process callers/tests)."""
+    config, _ = compose_app("inference", overrides)
+    return merge_base(config)
+
+
+def resolve_run(overrides: list[str], multirun: bool):
+    """(config, results_path) for one job: hydra run/sweep dir resolution
+    + base-config merge; ``results_path`` override wins."""
+    config, run_dir = compose_app("inference", overrides, multirun)
+    config = merge_base(config)
+    out_dir = Path(config.get("results_path") or run_dir
+                   or Path(config.outputs) / "infer_outputs")
+    return config, out_dir
+
+
+def main(argv: list[str] | None = None):
+    """Single run returns the yaml rows; ``-m`` multirun returns one list
+    per sweep job."""
+    multirun, overrides = parse_cli(argv)
+    if not multirun:
+        return _run_job(overrides, multirun=False)
+    return [_run_job(job, multirun=True)
+            for job in expand_sweeps(overrides)]
+
+
+def _run_job(overrides: list[str], multirun: bool) -> list[dict]:
+    config, out_dir = resolve_run(overrides, multirun)
     out_dir.mkdir(parents=True, exist_ok=True)
     init_logging(config, str(out_dir / "log"))
 

@@ -1,28 +1,34 @@
 """End-to-end ST pipeline CLI: segment -> fairseq translate -> mWER align ->
 BLEU/BERTScore/BLEURT.
 
-Usage (same surface as reference inference_st_pipe.py:53-214):
+Usage (same surface as reference inference_st_pipe.py:53-214, incl. the
+``-m`` multirun parameter-search workflow from the README and per-override
+run dirs from the conf hydra block):
 
     python inference_st_pipe.py outputs=/path/to/run ckpt=... algorithm=dac \
         infer_data=mustc_ende_tst-COMMON [key=value ...]
+    python inference_st_pipe.py -m ... algorithm.max_segment_length=10,12 ...
 """
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from ..stpipe.eval_st import eval_st
-from .common import init_logging, logger, parse_overrides
-from .inference import compose_with_base, generate
-
-CONF_DIR = Path(__file__).resolve().parents[2] / "conf"
+from .common import expand_sweeps, init_logging, logger, parse_cli
+from .inference import generate, resolve_run
 
 
-def main(argv: list[str] | None = None) -> dict:
-    overrides = parse_overrides(argv)
-    config = compose_with_base(overrides)
-    results_path = Path(config.get("results_path") or
-                        Path(config.outputs) / "infer_outputs")
+def main(argv: list[str] | None = None):
+    """Single run returns the results dict; ``-m`` multirun returns one
+    dict per sweep job."""
+    multirun, overrides = parse_cli(argv)
+    if not multirun:
+        return _run_job(overrides, multirun=False)
+    return [_run_job(job, multirun=True)
+            for job in expand_sweeps(overrides)]
+
+
+def _run_job(overrides: list[str], multirun: bool) -> dict:
+    config, results_path = resolve_run(overrides, multirun)
     results_path.mkdir(parents=True, exist_ok=True)
     init_logging(config, str(results_path / "log"))
 

@@ -15,30 +15,43 @@ from pathlib import Path
 
 import yaml
 
-from ..config import compose, load_config, merge
+from ..config import load_config, merge
 from .common import (
     apply_runtime,
     build_model,
+    compose_app,
+    expand_sweeps,
     init_logging,
     load_params,
     logger,
-    parse_overrides,
+    parse_cli,
     segment_wavs,
     wavs_from_yaml,
 )
 
-CONF_DIR = Path(__file__).resolve().parents[2] / "conf"
+
+def main(argv: list[str] | None = None):
+    """Single run returns the yaml rows; ``-m`` multirun returns one list
+    per sweep job (hydra CLI surface, reference segment.py:159 + conf
+    hydra block)."""
+    multirun, overrides = parse_cli(argv)
+    if not multirun:
+        return _run_job(overrides, multirun=False)
+    return [_run_job(job, multirun=True)
+            for job in expand_sweeps(overrides)]
 
 
-def main(argv: list[str] | None = None) -> list[dict]:
-    overrides = parse_overrides(argv)
-    config = compose(CONF_DIR, "segment", overrides)
+def _run_job(overrides: list[str], multirun: bool) -> list[dict]:
+    config, run_dir = compose_app("segment", overrides, multirun)
 
     if config.get("config_path"):
         prev = load_config(config.config_path)
         config = merge(prev, config)
 
-    output_dir = Path(config.output_dir)
+    # reference semantics: the hydra run dir (output_dir/<override_dirname>)
+    # is the CWD every artifact lands in; results_path overrides it
+    output_dir = Path(config.get("results_path") or run_dir
+                      or config.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     init_logging(config, str(output_dir / "log"))
     logger.info("Output directory : [%s]", output_dir)

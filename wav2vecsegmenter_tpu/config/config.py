@@ -228,6 +228,12 @@ def compose(
     for key, value in value_overrides:
         cfg.update_path(key, value)
 
+    # hydra-style run-dir interpolation: the CLI layer injects the real
+    # ${hydra.job.override_dirname} (cli/common.compose_app); default it so
+    # direct compose() callers still resolve app configs with hydra blocks
+    if "hydra" in cfg and cfg.select("hydra.job.override_dirname") is None:
+        cfg.update_path("hydra.job.override_dirname", "")
+
     if resolve_interp:
         cfg = resolve(cfg)
     return cfg
