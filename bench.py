@@ -141,8 +141,38 @@ def bench_train() -> None:
           f"est_mfu={mfu:.3f}", file=sys.stderr)
 
 
+def _start_init_watchdog():
+    """The axon tunnel can wedge with jax.devices() blocking forever
+    (observed: device init hung 20+ min then UNAVAILABLE).  Emit a
+    diagnostic JSON line and exit instead of hanging the driver's bench run
+    if the backend doesn't come up within BENCH_INIT_TIMEOUT seconds.
+    Compiles are NOT guarded — only device init."""
+    import threading
+
+    timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT", 1800))
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "xRT_segmentation_per_chip", "value": 0.0,
+                "unit": "x_realtime", "vs_baseline": 0.0,
+                "error": (f"device init did not complete within "
+                          f"{timeout_s:.0f}s (TPU backend unavailable)"),
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
 def main() -> None:
+    init_done = _start_init_watchdog()
     if os.environ.get("BENCH_MODE", "infer") == "train":
+        import jax
+
+        jax.default_backend()
+        init_done.set()
         bench_train()
         return
     from wav2vecsegmenter_tpu.core.runtime import setup_compilation_cache
@@ -158,6 +188,7 @@ def main() -> None:
     from wav2vecsegmenter_tpu.models.shas import SHAS
 
     on_tpu = jax.default_backend() == "tpu"
+    init_done.set()
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     # large+all architecture (24/24 layers) — the BASELINE headline config.
