@@ -1,0 +1,165 @@
+"""Online (streaming) segmentation: incremental pSTRM + OnlineSegmenter.
+
+Contracts:
+  * StreamingSTRM is chunk-boundary independent: feeding any partition of
+    the prediction array commits exactly the spans of the one-shot run
+    (which tests/test_algorithms.py separately fuzzes against the reference
+    oracle's string implementation).
+  * OnlineSegmenter over a wav fed in arbitrary chunks equals the offline
+    ``strm`` entry point over the same per-window batch-1 probabilities.
+"""
+
+import numpy as np
+import pytest
+
+from wav2vecsegmenter_tpu.algorithms.strm import (
+    StreamingSTRM,
+    split_predictions_strm,
+    strm,
+)
+
+from .helpers import tiny_shas
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_streaming_strm_matches_offline(seed):
+    rng = np.random.RandomState(seed)
+    n = rng.randint(1, 4000)
+    # blocky speech/pause structure so real pauses exist
+    bits = (rng.rand(n) < 0.6).astype(np.int8)
+    runs = rng.randint(1, 60)
+    for _ in range(runs):
+        a = rng.randint(0, n)
+        b = min(n, a + rng.randint(1, 80))
+        bits[a:b] = rng.randint(0, 2)
+
+    max_len = rng.randint(2, 400)
+    min_len = rng.randint(0, max_len)
+    min_pause = rng.randint(0, 40)
+
+    want = split_predictions_strm(bits, max_len, min_len, min_pause)
+
+    s = StreamingSTRM(max_len, min_len, min_pause)
+    got = []
+    i = 0
+    while i < n:
+        step = rng.randint(1, 300)
+        got.extend(s.feed(bits[i : i + step]))
+        i += step
+    got.extend(s.flush())
+    assert got == want
+
+    # spans partition [0, consumed) without gaps inside
+    for (s0, e0, _), (s1, e1, _) in zip(got, got[1:]):
+        assert e0 == s1
+    if got:
+        assert got[0][0] == 0
+
+
+def test_streaming_strm_commits_before_flush():
+    """Spans commit as soon as their chunk fills — not all at flush()."""
+    s = StreamingSTRM(10, 2, 1)
+    bits = np.array([1, 1, 1, 0, 0, 0, 1, 1, 1, 1] * 3, np.int8)
+    early = s.feed(bits)
+    assert len(early) > 0
+    s.flush()
+
+
+def test_online_segmenter_matches_offline_strm():
+    import jax
+
+    from wav2vecsegmenter_tpu.data.collate import collate, out_len_for
+    from wav2vecsegmenter_tpu.infer.online import OnlineSegmenter
+    from wav2vecsegmenter_tpu.infer.pipeline import WindowInference
+
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    engine = WindowInference(model, params)
+
+    rng = np.random.RandomState(7)
+    n = int(19.3 * 16000)  # 4 full 4 s windows + a 3.3 s partial
+    wav = (rng.randn(n).astype(np.float32) * 0.1
+           * ((np.arange(n) % 32000) < 24000))
+    # make one full window silent (excluded-row semantics)
+    wav[2 * 64000 : 3 * 64000] = 0.0
+
+    seg_len = 4.0
+    algo = dict(max_segment_length=3, min_segment_length=0.2,
+                min_pause_length=0.2, threshold=0.5)
+
+    # ---- offline comparator: same batch-1 windows, then offline strm ----
+    W = int(seg_len * 16000)
+    out_len = out_len_for(W)
+    probs_parts = []
+    pos = 0
+    while pos < n:
+        window = wav[pos : pos + W]
+        pos += len(window)
+        from wav2vecsegmenter_tpu.core.frames import inframes_to_outframes
+
+        end_out = int(inframes_to_outframes(pos))
+        start_out = sum(len(p) for p in probs_parts)
+        n_out = end_out - start_out
+        batch = collate([(window, None, 0, n_out)], 1, W, out_len)
+        if not batch.included[0]:
+            probs_parts.append(np.zeros(n_out, np.float32))
+            continue
+        p = np.asarray(engine.run_batch(batch)[0])[0]
+        valid = int(batch.ends[0] - batch.starts[0])
+        p = p[:valid]
+        if valid < n_out:
+            p = np.concatenate([p, np.repeat(p[-1:], n_out - valid)])
+        probs_parts.append(p)
+    full_probs = np.concatenate(probs_parts)
+    want = strm(full_probs, **{
+        "max_segment_length": algo["max_segment_length"],
+        "min_segment_length": algo["min_segment_length"],
+        "min_pause_length": algo["min_pause_length"],
+        "threshold": algo["threshold"],
+    })
+
+    # ---- online: arbitrary feed chunk sizes ----
+    online = OnlineSegmenter(engine, segment_length=seg_len, **algo)
+    got = []
+    i = 0
+    while i < n:
+        step = rng.randint(1000, 90000)
+        got.extend(online.feed(wav[i : i + step]))
+        i += step
+    n_before_finish = len(got)
+    got.extend(online.finish())
+
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g.offset == w.offset
+        assert g.duration == w.duration
+    assert online.segments[0].offset == got[0].offset
+    # streaming actually streamed: some segments committed before finish()
+    assert n_before_finish > 0
+
+
+def test_online_segmenter_single_shot_equals_chunked():
+    import jax
+
+    from wav2vecsegmenter_tpu.infer.online import OnlineSegmenter
+    from wav2vecsegmenter_tpu.infer.pipeline import WindowInference
+
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(1))
+    engine = WindowInference(model, params)
+    rng = np.random.RandomState(9)
+    n = int(11.7 * 16000)
+    wav = (rng.randn(n).astype(np.float32) * 0.1
+           * ((np.arange(n) % 16000) < 12000))
+
+    def run(chunks):
+        o = OnlineSegmenter(engine, segment_length=4.0,
+                            max_segment_length=3)
+        for c in chunks:
+            o.feed(c)
+        o.finish()
+        return [(s.offset, s.duration) for s in o.segments]
+
+    one = run([wav])
+    many = run([wav[i : i + 13000] for i in range(0, n, 13000)])
+    assert one == many and len(one) > 0

@@ -10,6 +10,11 @@ Chunks of ``max_segm_len`` frames are consumed left to right (simulating a
 stream); in each chunk the longest pause after the first ``min_segm_len``
 frames is located, the speech before it is emitted as a segment, and the
 remainder after the pause is carried over to the next chunk.
+
+The chunk loop is factored as :class:`StreamingSTRM`, which can be fed
+frame predictions incrementally (true streaming — see infer/online.py);
+the batch entry points below drive it over a full array, so online and
+offline runs share one implementation and agree exactly.
 """
 
 from __future__ import annotations
@@ -40,44 +45,70 @@ def _longest_zero_run(bits: np.ndarray) -> tuple[int, int]:
     return int(starts[idx]), int(lengths[idx])
 
 
-def _first_zero_run(bits: np.ndarray, run_start: int) -> bool:
-    """True if bits[:run_start] is all zeros or empty (reference is_pause)."""
-    return bool((bits[:run_start] == 0).all()) if run_start > 0 else True
+class StreamingSTRM:
+    """Incremental pSTRM chunker.
 
+    Feed thresholded frame predictions with :meth:`feed`; spans are
+    committed as soon as a full ``max_segm_len`` chunk (minus carried-over
+    leftover) is available, exactly as the reference's offline loop would
+    have committed them.  :meth:`flush` processes the final partial chunk
+    (the reference's ``end = total`` case) and must be called once at
+    stream end.
 
-def split_predictions_strm(
-    preds: np.ndarray, max_segm_len: int, min_segm_len: int, min_pause_len: int
-) -> list[tuple[int, int, bool]]:
-    """Chunked streaming split.
-
-    Args:
-        preds: int8/bool array of thresholded frame predictions.
-    Returns:
-        list of (start, end, is_speech) spans covering [0, len(preds)),
-        equivalent to the reference's list of '0'/'1' strings
-        (lib/segment.py:454-505) with spans instead of substrings.
+    Spans are ``(start, end, is_speech)`` in absolute frame indices,
+    equivalent to the reference's list of '0'/'1' strings
+    (lib/segment.py:454-505) with spans instead of substrings.
     """
-    total = len(preds)
-    start = 0
-    leftover_start, leftover_len = 0, 0  # carried-over span
-    spans: list[tuple[int, int, bool]] = []
 
-    def emit(s: int, e: int):
-        if e > s:
-            seg = preds[s:e]
-            spans.append((s, e, bool(seg.any())))
+    def __init__(self, max_segm_len: int, min_segm_len: int,
+                 min_pause_len: int):
+        self.max_len = max_segm_len
+        self.min_len = min_segm_len
+        self.min_pause = min_pause_len
+        self._buf = np.zeros(0, dtype=np.int8)  # pending frames
+        self._buf_start = 0  # absolute index of _buf[0]
+        self._leftover_len = 0  # prefix of _buf carried from the last chunk
+        self._flushed = False
 
-    while start < total:
-        end = min(start + max_segm_len - leftover_len, total)
-        cur_start = leftover_start if leftover_len else start
-        cur = preds[cur_start:end]
+    def feed(self, bits: np.ndarray) -> list[tuple[int, int, bool]]:
+        assert not self._flushed, "feed() after flush()"
+        if len(bits):
+            self._buf = np.concatenate(
+                [self._buf, np.asarray(bits, dtype=np.int8)])
+        spans: list[tuple[int, int, bool]] = []
+        # a chunk is ready when leftover + fresh frames reach max_len
+        while len(self._buf) >= self.max_len:
+            spans.extend(self._process_chunk(self.max_len))
+        return spans
 
-        second = cur[min_segm_len:]
+    def flush(self) -> list[tuple[int, int, bool]]:
+        """Process the final (possibly partial) chunk, mirroring the
+        reference loop's last iteration where ``end = total``."""
+        assert not self._flushed, "flush() called twice"
+        self._flushed = True
+        spans: list[tuple[int, int, bool]] = []
+        # only fresh frames end the stream; bare leftover is dropped at
+        # stream end exactly like the reference (its loop exits when
+        # start == total with the leftover unprocessed)
+        while len(self._buf) > self._leftover_len:
+            spans.extend(self._process_chunk(len(self._buf)))
+        return spans
+
+    def _process_chunk(self, size: int) -> list[tuple[int, int, bool]]:
+        cur = self._buf[:size]
+        cur_start = self._buf_start
+        spans: list[tuple[int, int, bool]] = []
+
+        def emit(s: int, e: int):
+            if e > s:
+                seg = self._buf[s - self._buf_start: e - self._buf_start]
+                spans.append((s, e, bool(seg.any())))
+
+        second = cur[self.min_len:]
         run_start, run_len = _longest_zero_run(second)
 
-        if run_len > min_pause_len:
-            # first_part = cur[:min_segm_len]; first_part_b = second[:run_start]
-            first_len = min(min_segm_len, len(cur))
+        if run_len > self.min_pause:
+            first_len = min(self.min_len, len(cur))
             abs_pause_start = cur_start + first_len + run_start
             abs_pause_end = abs_pause_start + run_len
             first_part = cur[:first_len]
@@ -89,14 +120,26 @@ def split_predictions_strm(
             else:
                 emit(cur_start, abs_pause_start)
             emit(abs_pause_start, abs_pause_end)
-            leftover_start = abs_pause_end
-            leftover_len = end - abs_pause_end
+            consumed = abs_pause_end - self._buf_start
+            self._leftover_len = size - consumed
         else:
-            emit(cur_start, end)
-            leftover_len = 0
+            emit(cur_start, cur_start + size)
+            consumed = size
+            self._leftover_len = 0
 
-        start = end
+        self._buf = self._buf[consumed:]
+        self._buf_start += consumed
+        return spans
 
+
+def split_predictions_strm(
+    preds: np.ndarray, max_segm_len: int, min_segm_len: int, min_pause_len: int
+) -> list[tuple[int, int, bool]]:
+    """Offline chunked streaming split over a full prediction array
+    (reference lib/segment.py:454-505)."""
+    s = StreamingSTRM(max_segm_len, min_segm_len, min_pause_len)
+    spans = s.feed(np.asarray(preds, dtype=np.int8))
+    spans.extend(s.flush())
     return spans
 
 

@@ -1,0 +1,159 @@
+"""Online (streaming) segmentation — a serving capability beyond the
+reference.
+
+The reference's pSTRM (lib/segment.py:454-505) *simulates* a stream over
+precomputed probabilities of a whole talk.  This module makes the simulation
+real: :class:`OnlineSegmenter` accepts 16 kHz samples incrementally, runs the
+encoder on fixed-length windows as soon as they fill (ONE compiled shape,
+batch 1 — no retraces as audio arrives, TPU-friendly static shapes), and
+drives the same :class:`~..algorithms.strm.StreamingSTRM` chunker the
+offline ``strm`` entry point uses, so committed boundaries match an offline
+pSTRM run over the same per-window probabilities exactly.
+
+Latency model: a boundary commits once (a) its encoder window has filled
+(window_secs of buffering) and (b) the pSTRM chunker has a full
+``max_segment_length`` chunk — both bounded constants, independent of
+stream length.
+
+Normalization note: each window normalizes over its own length (a batch-1
+collate), which is the reference semantics for batch_size=1; offline runs
+with larger batches normalize tail windows over the batch-max length
+instead (PARITY.md "Device-side normalization" / batch-size envelope).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..algorithms.segment import Segment
+from ..algorithms.strm import StreamingSTRM
+from ..constants import TARGET_SAMPLE_RATE, WAV2VEC_FRAME_LEN
+from ..core.frames import inframes_to_outframes, secs_to_inframes
+from ..data.collate import collate, out_len_for
+from .pipeline import WindowInference
+
+
+class OnlineSegmenter:
+    """Feed samples, receive finalized speech segments incrementally.
+
+    Usage::
+
+        seg = OnlineSegmenter(engine, segment_length=20)
+        for chunk in audio_source:          # arbitrary chunk sizes
+            for s in seg.feed(chunk):
+                ...                         # committed Segment
+        tail = seg.finish()                 # flush final partial window
+
+    ``engine`` is a :class:`WindowInference` built from a trained SFC model
+    (same object the offline CLIs use).
+    """
+
+    def __init__(
+        self,
+        engine: WindowInference,
+        segment_length: float = 20,
+        max_segment_length: float = 18,
+        min_segment_length: float = 0.2,
+        min_pause_length: float = 0.2,
+        threshold: float = 0.5,
+    ):
+        self.engine = engine
+        self.window_inframes = int(secs_to_inframes(segment_length))
+        self.out_len = out_len_for(self.window_inframes)
+        frame_len = WAV2VEC_FRAME_LEN / 1000
+        self.threshold = threshold
+        self._strm = StreamingSTRM(
+            int(max_segment_length / frame_len),
+            int(min_segment_length / frame_len),
+            int(min_pause_length / frame_len),
+        )
+        self._minu = TARGET_SAMPLE_RATE * 0.06  # 0.06 s expansion, frames
+        self._pending = np.zeros(0, np.float32)
+        self._consumed_inframes = 0  # absolute sample index of _pending[0]
+        self._out_head = 0  # absolute output-frame index fed to the chunker
+        self._segments: list[Segment] = []
+        self._finished = False
+
+    # ------------------------------------------------------------------
+    def feed(self, samples: np.ndarray) -> list[Segment]:
+        """Consume samples; returns segments finalized by this call."""
+        assert not self._finished, "feed() after finish()"
+        samples = np.asarray(samples, np.float32)
+        if samples.ndim != 1:
+            raise ValueError("feed expects a mono 1-D float array")
+        if len(samples):
+            self._pending = np.concatenate([self._pending, samples])
+        out: list[Segment] = []
+        while len(self._pending) >= self.window_inframes:
+            window = self._pending[: self.window_inframes]
+            self._pending = self._pending[self.window_inframes:]
+            out.extend(self._run_window(window))
+        return out
+
+    def finish(self) -> list[Segment]:
+        """Flush the final partial window and the chunker; returns the
+        remaining segments.  ``segments`` then holds the full list."""
+        assert not self._finished, "finish() called twice"
+        out: list[Segment] = []
+        if len(self._pending):
+            out.extend(self._run_window(self._pending))
+            self._pending = np.zeros(0, np.float32)
+        out.extend(self._commit(self._strm.flush()))
+        self._finished = True
+        # clamp the trailing 0.06 s expansion to the true stream length
+        # (offline get_segments clamps every segment; only the last can
+        # exceed the stream end)
+        total_out = self._out_head
+        for s in reversed(self._segments):
+            if s.end > total_out:
+                s.end = min(s.end, total_out)
+            else:
+                break
+        return out
+
+    @property
+    def segments(self) -> list[Segment]:
+        return list(self._segments)
+
+    # ------------------------------------------------------------------
+    def _run_window(self, window: np.ndarray) -> list[Segment]:
+        start_in = self._consumed_inframes
+        end_in = start_in + len(window)
+        self._consumed_inframes = end_in
+        start_out = int(inframes_to_outframes(start_in))
+        end_out = int(inframes_to_outframes(end_in))
+        batch = collate(
+            [(window, None, 0, end_out - start_out)],
+            batch_size=1,
+            audio_len=self.window_inframes,
+            out_len=self.out_len,
+        )
+        n_out = end_out - start_out
+        if not batch.included[0]:
+            # silent window: the offline stitch writes prob 0 for excluded
+            # rows (pipeline.stitch_row), i.e. below any threshold
+            bits = np.zeros(n_out, np.int8)
+        else:
+            probs, _ = self.engine.run_batch(batch)
+            probs = np.asarray(probs)[0]
+            valid = int(batch.ends[0] - batch.starts[0])
+            bits = (probs[:valid] > self.threshold).astype(np.int8)
+            if valid < n_out:
+                # batch-level -1-frame correction (collate): the conv stack
+                # yielded one frame fewer than the 49.95 Hz estimate; repeat
+                # the final prediction so the absolute frame clock stays
+                # aligned
+                bits = np.concatenate(
+                    [bits, np.repeat(bits[-1:], n_out - valid)])
+        self._out_head = end_out
+        return self._commit(self._strm.feed(bits))
+
+    def _commit(self, spans) -> list[Segment]:
+        new: list[Segment] = []
+        for s, e, is_speech in spans:
+            if not is_speech:
+                continue
+            seg = Segment(max(0, s - self._minu), e + self._minu)
+            self._segments.append(seg)
+            new.append(seg)
+        return new
