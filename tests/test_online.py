@@ -163,3 +163,138 @@ def test_online_segmenter_single_shot_equals_chunked():
     one = run([wav])
     many = run([wav[i : i + 13000] for i in range(0, n, 13000)])
     assert one == many and len(one) > 0
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_streaming_pthr_matches_offline(seed):
+    """StreamingPTHR + StreamingMA over any feed partition == the batch
+    pthr() walk (which test_algorithms.py fuzzes against the oracle)."""
+    from wav2vecsegmenter_tpu.algorithms.pthr import (
+        StreamingMA,
+        StreamingPTHR,
+        build_thresholds,
+        moving_average,
+        pthr,
+    )
+
+    rng = np.random.RandomState(100 + seed)
+    n = rng.randint(5, 3000)
+    probs = rng.rand(n)
+    kw = dict(
+        max_segment_length=rng.choice([1.0, 3.0, 7.7, 18.0]),
+        min_segment_length=rng.choice([0.0, 0.2, 1.0]),
+        max_lerp_range=rng.choice([0.0, 0.5]),
+        min_lerp_range=rng.choice([0.0, 0.3]),
+        threshold=rng.choice([0.3, 0.5, 0.7]),
+        moving_average_window=rng.choice([0.0, 0.1, 0.9]),
+    )
+    want = [(s.offset, s.duration) for s in pthr(probs, **kw)]
+
+    frame_len = 0.02
+    thresholds = build_thresholds(
+        int(kw["max_segment_length"] / frame_len),
+        int(kw["min_segment_length"] / frame_len),
+        int(kw["max_lerp_range"] / frame_len),
+        int(kw["min_lerp_range"] / frame_len),
+        kw["threshold"],
+    )
+    walker = StreamingPTHR(thresholds, kw["threshold"])
+    ma = (StreamingMA(int(kw["moving_average_window"] / frame_len))
+          if kw["moving_average_window"] > 0 else None)
+    spans = []
+    i = 0
+    while i < n:
+        step = rng.randint(1, 200)
+        piece = probs[i : i + step]
+        spans.extend(walker.feed(ma.feed(piece) if ma else piece))
+        i += step
+    spans.extend(walker.flush())
+
+    from wav2vecsegmenter_tpu.algorithms.segment import Segment
+    from wav2vecsegmenter_tpu.constants import TARGET_SAMPLE_RATE
+
+    minu = TARGET_SAMPLE_RATE * 0.06
+    got = [
+        (Segment(max(0, s - minu), min(e + minu, n - 1)).offset,
+         Segment(max(0, s - minu), min(e + minu, n - 1)).duration)
+        for s, e in spans
+    ]
+    assert got == want
+
+    # MA smoothing itself is partition-independent
+    if ma is not None:
+        full = moving_average(probs, int(kw["moving_average_window"] / frame_len))
+        ma2 = StreamingMA(int(kw["moving_average_window"] / frame_len))
+        parts, j = [], 0
+        while j < n:
+            st = rng.randint(1, 97)
+            parts.append(ma2.feed(probs[j : j + st]))
+            j += st
+        np.testing.assert_allclose(np.concatenate(parts), full, rtol=1e-12)
+
+
+def test_online_segmenter_pthr_matches_offline():
+    import jax
+
+    from wav2vecsegmenter_tpu.algorithms.pthr import pthr
+    from wav2vecsegmenter_tpu.data.collate import collate, out_len_for
+    from wav2vecsegmenter_tpu.core.frames import inframes_to_outframes
+    from wav2vecsegmenter_tpu.infer.online import OnlineSegmenter
+    from wav2vecsegmenter_tpu.infer.pipeline import WindowInference
+
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(2))
+    engine = WindowInference(model, params)
+
+    rng = np.random.RandomState(17)
+    n = int(14.6 * 16000)
+    wav = (rng.randn(n).astype(np.float32) * 0.1
+           * ((np.arange(n) % 24000) < 18000))
+
+    seg_len = 4.0
+    algo = dict(max_segment_length=2.5, min_segment_length=0.2,
+                threshold=0.5, moving_average_window=0.1)
+
+    # offline comparator: same batch-1 windows -> batch pthr
+    W = int(seg_len * 16000)
+    out_len = out_len_for(W)
+    parts, pos = [], 0
+    while pos < n:
+        window = wav[pos : pos + W]
+        pos += len(window)
+        end_out = int(inframes_to_outframes(pos))
+        start_out = sum(len(p) for p in parts)
+        n_out = end_out - start_out
+        batch = collate([(window, None, 0, n_out)], 1, W, out_len)
+        p = np.asarray(engine.run_batch(batch)[0])[0]
+        valid = int(batch.ends[0] - batch.starts[0])
+        p = p[:valid]
+        if valid < n_out:
+            p = np.concatenate([p, np.repeat(p[-1:], n_out - valid)])
+        parts.append(p)
+    want = [(s.offset, s.duration)
+            for s in pthr(np.concatenate(parts), **algo)]
+
+    online = OnlineSegmenter(engine, segment_length=seg_len,
+                             algorithm="pthr", **algo)
+    got = []
+    i = 0
+    while i < n:
+        step = rng.randint(5000, 70000)
+        got.extend(online.feed(wav[i : i + step]))
+        i += step
+    got.extend(online.finish())
+    assert [(s.offset, s.duration) for s in got] == want
+    assert len(want) > 0
+
+
+def test_online_segmenter_rejects_dac():
+    import jax
+
+    from wav2vecsegmenter_tpu.infer.online import OnlineSegmenter
+    from wav2vecsegmenter_tpu.infer.pipeline import WindowInference
+
+    model = tiny_shas()
+    engine = WindowInference(model, model.init(jax.random.PRNGKey(0)))
+    with pytest.raises(NotImplementedError, match="dac"):
+        OnlineSegmenter(engine, algorithm="dac")

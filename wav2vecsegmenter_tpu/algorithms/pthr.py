@@ -5,6 +5,12 @@ Behavioral contract: /root/reference/lib/segment.py:508-592.  The trailing
 moving average (reference's O(n*window) Python loop at :508-522) is computed
 with a vectorized cumulative sum; the threshold walk itself is a cheap O(n)
 host scan over the already-stitched talk array.
+
+The walk is factored as :class:`StreamingPTHR`, which can be fed
+probabilities incrementally with bounded lookahead (at most
+``max_segment_length`` frames — see infer/online.py); the batch ``pthr``
+entry point drives it over the full array, so online and offline share one
+implementation and agree exactly.
 """
 
 from __future__ import annotations
@@ -31,6 +37,32 @@ def moving_average(arr: np.ndarray, window: int) -> np.ndarray:
     return (csum[idx] - csum[lo]) / (idx - lo)
 
 
+class StreamingMA:
+    """Incremental trailing moving average with the same output as
+    :func:`moving_average` for any feed partition."""
+
+    def __init__(self, window: int):
+        self.window = max(1, int(window))
+        self._tail = np.zeros(0, np.float64)  # last window-1 raw values
+        self._n = 0  # total values seen
+
+    def feed(self, arr: np.ndarray) -> np.ndarray:
+        arr = np.asarray(arr, dtype=np.float64)
+        if not len(arr):
+            return arr
+        joined = np.concatenate([self._tail, arr])
+        # exact for every new position: during warm-up (n < window-1) the
+        # tail holds the ENTIRE prefix, so local index == global index and
+        # the short-prefix mean divides by the true length; afterwards the
+        # tail holds exactly the window-1 values each new mean reaches back
+        # to.  moving_average's own max(0, i-w+1) ramp handles both.
+        out = moving_average(joined, self.window)[len(self._tail):]
+        self._n += len(arr)
+        keep = self.window - 1
+        self._tail = joined[len(joined) - keep:] if keep else joined[:0]
+        return out
+
+
 def build_thresholds(
     max_segm_len_steps: int,
     min_segm_len_steps: int,
@@ -53,6 +85,80 @@ def build_thresholds(
             + np.arange(max_lerp_steps, dtype=float) / (max_lerp_steps / threshold)
         )
     return thresholds
+
+
+class StreamingPTHR:
+    """Incremental pTHR walk.
+
+    Feed (already smoothed, if ma applies) probabilities with :meth:`feed`;
+    a segment commits as soon as its end frame cannot be changed by future
+    audio — the walk needs at most ``len(thresholds)+1`` frames of
+    lookahead past a segment start.  :meth:`flush` resolves the final
+    segment with the reference's ``end = total - 1`` semantics.
+
+    Spans are (start_frame, end_frame) inclusive-end like the reference's
+    walk (lib/segment.py:567-590); the 0.06 s expansion/clamp is applied by
+    the callers.
+    """
+
+    def __init__(self, thresholds: np.ndarray, threshold: float):
+        self.thresholds = np.asarray(thresholds, np.float64)
+        self.threshold = threshold
+        self._buf = np.zeros(0, np.float64)
+        self._base = 0  # absolute frame index of _buf[0]
+        self._start = 0  # absolute walk pointer
+        self._flushed = False
+
+    def feed(self, probs: np.ndarray) -> list[tuple[int, int]]:
+        assert not self._flushed, "feed() after flush()"
+        probs = np.asarray(probs, np.float64)
+        if len(probs):
+            self._buf = np.concatenate([self._buf, probs])
+        return self._scan(final=False)
+
+    def flush(self) -> list[tuple[int, int]]:
+        assert not self._flushed, "flush() called twice"
+        self._flushed = True
+        return self._scan(final=True)
+
+    def _scan(self, final: bool) -> list[tuple[int, int]]:
+        spans: list[tuple[int, int]] = []
+        L = len(self.thresholds)
+        total_known = self._base + len(self._buf)
+
+        def prob(i: int) -> float:
+            return float(self._buf[i - self._base])
+
+        while True:
+            # advance past below-threshold starts
+            while (self._start < total_known
+                   and prob(self._start) <= self.threshold):
+                self._start += 1
+            if self._start >= total_known:
+                break
+            avail = total_known - self._start
+            part = self._buf[self._start - self._base:
+                             self._start - self._base + min(avail, L)]
+            below = np.where(part <= self.thresholds[: len(part)])[0]
+            if len(below) > 0:
+                end = self._start + int(below[0])
+            elif final:
+                # reference: end = min(start + L, total - 1)
+                end = min(self._start + L, total_known - 1)
+            elif avail >= L + 1:
+                # full window seen and at least one frame beyond: the
+                # offline min(start+L, total-1) can no longer bind
+                end = self._start + L
+            else:
+                break  # need more lookahead
+            spans.append((self._start, end))
+            self._start = end + 1
+            # drop frames the walk can never revisit
+            drop = self._start - self._base
+            if drop > 0:
+                self._buf = self._buf[drop:]
+                self._base = self._start
+        return spans
 
 
 def pthr(
@@ -83,22 +189,11 @@ def pthr(
 
     total = len(probs)
     minu_frame = TARGET_SAMPLE_RATE * 0.06
-    segments: list[Segment] = []
 
-    start = 0
-    while start < total:
-        if probs[start] <= threshold:
-            start += 1
-            continue
-        part = probs[start : start + len(thresholds)]
-        below = np.where(part <= thresholds[: len(part)])[0]
-        if len(below) > 0:
-            end = start + int(below[0])
-        else:
-            end = min(start + len(thresholds), total - 1)
-        segments.append(
-            Segment(max(0, start - minu_frame), min(end + minu_frame, total - 1))
-        )
-        start = end + 1
-
-    return segments
+    walker = StreamingPTHR(thresholds, threshold)
+    spans = walker.feed(probs)
+    spans.extend(walker.flush())
+    return [
+        Segment(max(0, s - minu_frame), min(e + minu_frame, total - 1))
+        for s, e in spans
+    ]

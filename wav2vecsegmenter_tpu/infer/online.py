@@ -2,18 +2,23 @@
 reference.
 
 The reference's pSTRM (lib/segment.py:454-505) *simulates* a stream over
-precomputed probabilities of a whole talk.  This module makes the simulation
-real: :class:`OnlineSegmenter` accepts 16 kHz samples incrementally, runs the
-encoder on fixed-length windows as soon as they fill (ONE compiled shape,
-batch 1 — no retraces as audio arrives, TPU-friendly static shapes), and
-drives the same :class:`~..algorithms.strm.StreamingSTRM` chunker the
-offline ``strm`` entry point uses, so committed boundaries match an offline
-pSTRM run over the same per-window probabilities exactly.
+precomputed probabilities of a whole talk, and its best-scoring pTHR(+MA)
+walk (lib/segment.py:525-592) is equally causal but only ships as a batch
+function.  This module makes both real: :class:`OnlineSegmenter` accepts
+16 kHz samples incrementally, runs the encoder on fixed-length windows as
+soon as they fill (ONE compiled shape, batch 1 — no retraces as audio
+arrives, TPU-friendly static shapes), and drives the same incremental
+cores the offline entry points use
+(:class:`~..algorithms.strm.StreamingSTRM`,
+:class:`~..algorithms.pthr.StreamingPTHR` + ``StreamingMA``), so committed
+boundaries match an offline run over the same per-window probabilities
+exactly.
 
 Latency model: a boundary commits once (a) its encoder window has filled
-(window_secs of buffering) and (b) the pSTRM chunker has a full
-``max_segment_length`` chunk — both bounded constants, independent of
-stream length.
+(window_secs of buffering) and (b) the algorithm's bounded lookahead is
+satisfied — a full ``max_segment_length`` chunk for pSTRM, at most
+``max_segment_length`` + 1 frames past a segment start for pTHR.  Both are
+constants independent of stream length.
 
 Normalization note: each window normalizes over its own length (a batch-1
 collate), which is the reference semantics for batch_size=1; offline runs
@@ -25,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..algorithms.pthr import StreamingMA, StreamingPTHR, build_thresholds
 from ..algorithms.segment import Segment
 from ..algorithms.strm import StreamingSTRM
 from ..constants import TARGET_SAMPLE_RATE, WAV2VEC_FRAME_LEN
@@ -32,45 +38,69 @@ from ..core.frames import inframes_to_outframes, secs_to_inframes
 from ..data.collate import collate, out_len_for
 from .pipeline import WindowInference
 
+_FRAME_LEN = WAV2VEC_FRAME_LEN / 1000
+
 
 class OnlineSegmenter:
     """Feed samples, receive finalized speech segments incrementally.
 
     Usage::
 
-        seg = OnlineSegmenter(engine, segment_length=20)
+        seg = OnlineSegmenter(engine, algorithm="pthr", threshold=0.1,
+                              moving_average_window=0.1)
         for chunk in audio_source:          # arbitrary chunk sizes
             for s in seg.feed(chunk):
                 ...                         # committed Segment
         tail = seg.finish()                 # flush final partial window
 
     ``engine`` is a :class:`WindowInference` built from a trained SFC model
-    (same object the offline CLIs use).
+    (same object the offline CLIs use).  ``algorithm`` is ``"strm"`` or
+    ``"pthr"`` (the reference's two causal algorithms; pDAC needs the whole
+    talk and stays offline-only).
     """
 
     def __init__(
         self,
         engine: WindowInference,
         segment_length: float = 20,
+        algorithm: str = "strm",
         max_segment_length: float = 18,
         min_segment_length: float = 0.2,
         min_pause_length: float = 0.2,
         threshold: float = 0.5,
+        max_lerp_range: float = 0,
+        min_lerp_range: float = 0,
+        moving_average_window: float = 0,
     ):
         self.engine = engine
         self.window_inframes = int(secs_to_inframes(segment_length))
         self.out_len = out_len_for(self.window_inframes)
-        frame_len = WAV2VEC_FRAME_LEN / 1000
         self.threshold = threshold
-        self._strm = StreamingSTRM(
-            int(max_segment_length / frame_len),
-            int(min_segment_length / frame_len),
-            int(min_pause_length / frame_len),
-        )
+        self.algorithm = algorithm
+        max_steps = int(max_segment_length / _FRAME_LEN)
+        min_steps = int(min_segment_length / _FRAME_LEN)
+        if algorithm == "strm":
+            self._core = StreamingSTRM(
+                max_steps, min_steps, int(min_pause_length / _FRAME_LEN))
+            self._ma = None
+        elif algorithm == "pthr":
+            thresholds = build_thresholds(
+                max_steps, min_steps,
+                int(max_lerp_range / _FRAME_LEN),
+                int(min_lerp_range / _FRAME_LEN),
+                threshold,
+            )
+            self._core = StreamingPTHR(thresholds, threshold)
+            self._ma = (StreamingMA(int(moving_average_window / _FRAME_LEN))
+                        if moving_average_window > 0 else None)
+        else:
+            raise NotImplementedError(
+                f"online algorithm '{algorithm}' (strm/pthr are causal; "
+                "dac needs the whole talk)")
         self._minu = TARGET_SAMPLE_RATE * 0.06  # 0.06 s expansion, frames
         self._pending = np.zeros(0, np.float32)
         self._consumed_inframes = 0  # absolute sample index of _pending[0]
-        self._out_head = 0  # absolute output-frame index fed to the chunker
+        self._out_head = 0  # absolute output-frame index fed to the core
         self._segments: list[Segment] = []
         self._finished = False
 
@@ -91,22 +121,23 @@ class OnlineSegmenter:
         return out
 
     def finish(self) -> list[Segment]:
-        """Flush the final partial window and the chunker; returns the
-        remaining segments.  ``segments`` then holds the full list."""
+        """Flush the final partial window and the algorithm core; returns
+        the remaining segments.  ``segments`` then holds the full list."""
         assert not self._finished, "finish() called twice"
         out: list[Segment] = []
         if len(self._pending):
             out.extend(self._run_window(self._pending))
             self._pending = np.zeros(0, np.float32)
-        out.extend(self._commit(self._strm.flush()))
+        out.extend(self._commit(self._core.flush()))
         self._finished = True
-        # clamp the trailing 0.06 s expansion to the true stream length
-        # (offline get_segments clamps every segment; only the last can
-        # exceed the stream end)
-        total_out = self._out_head
+        # clamp the trailing 0.06 s expansion to the true stream length —
+        # offline clamps every segment (get_segments: total; pthr walk:
+        # total-1) but only trailing ones can exceed
+        clamp = (self._out_head if self.algorithm == "strm"
+                 else self._out_head - 1)
         for s in reversed(self._segments):
-            if s.end > total_out:
-                s.end = min(s.end, total_out)
+            if s.end > clamp:
+                s.end = clamp
             else:
                 break
         return out
@@ -132,27 +163,35 @@ class OnlineSegmenter:
         if not batch.included[0]:
             # silent window: the offline stitch writes prob 0 for excluded
             # rows (pipeline.stitch_row), i.e. below any threshold
-            bits = np.zeros(n_out, np.int8)
+            probs = np.zeros(n_out, np.float32)
         else:
-            probs, _ = self.engine.run_batch(batch)
-            probs = np.asarray(probs)[0]
+            raw, _ = self.engine.run_batch(batch)
+            raw = np.asarray(raw)[0]
             valid = int(batch.ends[0] - batch.starts[0])
-            bits = (probs[:valid] > self.threshold).astype(np.int8)
+            probs = raw[:valid]
             if valid < n_out:
                 # batch-level -1-frame correction (collate): the conv stack
                 # yielded one frame fewer than the 49.95 Hz estimate; repeat
                 # the final prediction so the absolute frame clock stays
                 # aligned
-                bits = np.concatenate(
-                    [bits, np.repeat(bits[-1:], n_out - valid)])
+                probs = np.concatenate(
+                    [probs, np.repeat(probs[-1:], n_out - valid)])
         self._out_head = end_out
-        return self._commit(self._strm.feed(bits))
+        if self.algorithm == "strm":
+            feed = (probs > self.threshold).astype(np.int8)
+        else:
+            feed = self._ma.feed(probs) if self._ma is not None else probs
+        return self._commit(self._core.feed(feed))
 
     def _commit(self, spans) -> list[Segment]:
         new: list[Segment] = []
-        for s, e, is_speech in spans:
-            if not is_speech:
-                continue
+        for span in spans:
+            if self.algorithm == "strm":
+                s, e, is_speech = span
+                if not is_speech:
+                    continue
+            else:
+                s, e = span  # inclusive walk end, expanded the same way
             seg = Segment(max(0, s - self._minu), e + self._minu)
             self._segments.append(seg)
             new.append(seg)
