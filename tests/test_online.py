@@ -65,7 +65,14 @@ def test_streaming_strm_commits_before_flush():
     s.flush()
 
 
-def test_online_segmenter_matches_offline_strm():
+@pytest.mark.parametrize("seg_len,talk_secs", [
+    (4.0, 19.3),
+    # 14 s windows: W*49.95/16000 = 699.3 — some window out-spans round to
+    # 700 > out_len_for(W) = 699, exercising the batch -1-frame correction
+    # and the online frame-clock repeat on the fractional-Wr path
+    (14.0, 45.2),
+])
+def test_online_segmenter_matches_offline_strm(seg_len, talk_secs):
     import jax
 
     from wav2vecsegmenter_tpu.data.collate import collate, out_len_for
@@ -77,13 +84,12 @@ def test_online_segmenter_matches_offline_strm():
     engine = WindowInference(model, params)
 
     rng = np.random.RandomState(7)
-    n = int(19.3 * 16000)  # 4 full 4 s windows + a 3.3 s partial
+    n = int(talk_secs * 16000)
     wav = (rng.randn(n).astype(np.float32) * 0.1
            * ((np.arange(n) % 32000) < 24000))
     # make one full window silent (excluded-row semantics)
-    wav[2 * 64000 : 3 * 64000] = 0.0
-
-    seg_len = 4.0
+    W0 = int(seg_len * 16000)
+    wav[2 * W0 : 3 * W0] = 0.0
     algo = dict(max_segment_length=3, min_segment_length=0.2,
                 min_pause_length=0.2, threshold=0.5)
 
