@@ -152,11 +152,17 @@ def _start_init_watchdog():
     timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT", 1800))
     done = threading.Event()
 
+    train_mode = os.environ.get("BENCH_MODE", "infer") == "train"
+
     def watch():
         if not done.wait(timeout_s):
             print(json.dumps({
-                "metric": "xRT_segmentation_per_chip", "value": 0.0,
-                "unit": "x_realtime", "vs_baseline": 0.0,
+                "metric": ("train_step_lna_l24_ft24" if train_mode
+                           else "xRT_segmentation_per_chip"),
+                "value": 0.0,
+                "unit": ("s/step (batch=4, 20s windows)" if train_mode
+                         else "x_realtime"),
+                "vs_baseline": 0.0,
                 "error": (f"device init did not complete within "
                           f"{timeout_s:.0f}s (TPU backend unavailable)"),
             }), flush=True)

@@ -137,3 +137,51 @@ def test_expand_sweeps_and_override_dirname():
     jobs = expand_sweeps(["a=1,2", "b=x,y"])
     assert jobs == [["a=1", "b=x"], ["a=1", "b=y"],
                     ["a=2", "b=x"], ["a=2", "b=y"]]
+
+
+def test_interpolating_missing_value_is_missing():
+    """A string interpolating a ??? is itself missing (OmegaConf parity):
+    it surfaces as MissingMandatoryValue on access / None via .get — never
+    as a literal '???' leaking into run-directory paths."""
+    from wav2vecsegmenter_tpu.config.config import Config, resolve
+
+    cfg = resolve(Config({"outputs": "???",
+                          "run_dir": "${outputs}/infer_outputs"}))
+    assert cfg.get("run_dir") is None
+    with pytest.raises(MissingMandatoryValue):
+        _ = cfg.run_dir
+
+
+def test_inference_run_dir_without_outputs_fails_cleanly(tmp_path, monkeypatch):
+    """`python inference.py ckpt=foo` (no outputs=) must raise
+    MissingMandatoryValue without creating a junk '???' directory tree."""
+    from wav2vecsegmenter_tpu.cli import inference
+
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(MissingMandatoryValue):
+        inference.main(["ckpt=foo"])
+    assert not list(tmp_path.iterdir())
+
+
+def test_single_run_rejects_comma_sweep():
+    """Hydra parity: a choice sweep without -m errors up front instead of
+    passing '0.2,0.8' as a literal string into the run."""
+    from wav2vecsegmenter_tpu.cli.common import parse_cli
+
+    with pytest.raises(ValueError, match="multirun"):
+        parse_cli(["algorithm.threshold=0.2,0.8"])
+    # commas inside yaml lists are not sweeps
+    multirun, ov = parse_cli(["st_metrics=[bleu,bertscore]"])
+    assert not multirun and ov == ["st_metrics=[bleu,bertscore]"]
+    # with -m the same value IS a sweep
+    multirun, ov = parse_cli(["-m", "algorithm.threshold=0.2,0.8"])
+    assert multirun
+
+
+def test_console_entry_points_return_none(monkeypatch):
+    """setuptools wraps entry points in sys.exit(...): console() must
+    swallow main()'s data return so successful runs exit 0."""
+    import wav2vecsegmenter_tpu.cli.inference as mod
+
+    monkeypatch.setattr(mod, "main", lambda: [{"wav": "x"}])
+    assert mod.console() is None

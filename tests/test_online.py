@@ -304,3 +304,76 @@ def test_online_segmenter_rejects_dac():
     engine = WindowInference(model, model.init(jax.random.PRNGKey(0)))
     with pytest.raises(NotImplementedError, match="dac"):
         OnlineSegmenter(engine, algorithm="dac")
+
+
+def test_streaming_ma_bit_exact():
+    """StreamingMA == moving_average EXACTLY (array_equal, not allclose):
+    the smoothed value feeds a threshold comparison, so an ulp of drift
+    could flip a committed boundary between online and offline.  The
+    seeded-cumsum construction reproduces the offline csum floats."""
+    from wav2vecsegmenter_tpu.algorithms.pthr import StreamingMA, moving_average
+
+    rng = np.random.RandomState(7)
+    x = rng.rand(100_000)
+    for window in (1, 5, 37, 500):
+        full = moving_average(x, window)
+        ma = StreamingMA(window)
+        parts, j = [], 0
+        while j < len(x):
+            st = rng.randint(1, 4096)
+            parts.append(ma.feed(x[j : j + st]))
+            j += st
+        got = np.concatenate(parts)
+        assert got.shape == full.shape
+        assert np.array_equal(got, full), f"window={window} drifted"
+
+
+def test_streaming_pthr_bounded_buffer_on_silence():
+    """A long sub-threshold stream must not grow the lookahead buffer
+    (hours of silence would otherwise retain the whole history in _buf)."""
+    from wav2vecsegmenter_tpu.algorithms.pthr import StreamingPTHR
+
+    w = StreamingPTHR(np.full(50, 0.5), 0.5)
+    for _ in range(20):
+        w.feed(np.full(1000, 0.1))
+    assert len(w._buf) == 0
+    # a speech onset after the silence still resolves at the right frame
+    spans = list(w.feed(np.full(10, 0.9)))
+    assert len(w._buf) <= 10
+    spans += w.feed(np.full(60, 0.1))
+    assert spans and spans[0] == (20_000, 20_010)
+
+
+def test_online_frame_clock_robust_to_short_rows():
+    """Exactly n_out frames reach the core per window even when the raw
+    model row is shorter than the out-span estimate (fractional 49.95 Hz
+    spans / collate's -1 correction) or the final window is sub-frame."""
+    from wav2vecsegmenter_tpu.core.frames import inframes_to_outframes
+    from wav2vecsegmenter_tpu.infer.online import OnlineSegmenter
+
+    class ShortRowEngine:
+        def run_batch(self, batch):
+            # 3-wide rows: far shorter than any real window span
+            return np.full((1, 3), 0.9, np.float32), None
+
+    seg = OnlineSegmenter(
+        ShortRowEngine(), segment_length=14.0, algorithm="strm",
+        max_segment_length=2.0, min_segment_length=0.2,
+        min_pause_length=0.2, threshold=0.5,
+    )
+    fed = []
+    real_feed = seg._core.feed
+
+    def counting_feed(arr):
+        fed.append(len(arr))
+        return real_feed(arr)
+
+    seg._core.feed = counting_feed
+    W = seg.window_inframes
+    rng = np.random.RandomState(0)
+    for _ in range(3):
+        seg.feed((rng.randn(W) * 0.1 + 0.5).astype(np.float32))
+    seg.feed(np.full(300, 0.5, np.float32))  # sub-frame tail
+    seg.finish()
+    total = int(inframes_to_outframes(3 * W + 300))
+    assert sum(fed) == total == seg._out_head

@@ -38,28 +38,40 @@ def moving_average(arr: np.ndarray, window: int) -> np.ndarray:
 
 
 class StreamingMA:
-    """Incremental trailing moving average with the same output as
-    :func:`moving_average` for any feed partition."""
+    """Incremental trailing moving average, bit-identical to
+    :func:`moving_average` for any feed partition.
+
+    Bit-exactness (not just closeness) matters because the smoothed value
+    is compared against a threshold curve: an ulp of drift can flip a
+    boundary between online and offline.  ``np.cumsum`` accumulates
+    sequentially left-to-right, so seeding a chunk's cumsum with the
+    running total reproduces the offline global csum values exactly; the
+    windowed mean then subtracts the SAME two csum floats the offline
+    code does.
+    """
 
     def __init__(self, window: int):
         self.window = max(1, int(window))
-        self._tail = np.zeros(0, np.float64)  # last window-1 raw values
+        # global csum values for indices _lo_idx.._n (csum[0] = 0.0)
+        self._csum = np.zeros(1, np.float64)
+        self._lo_idx = 0
         self._n = 0  # total values seen
 
     def feed(self, arr: np.ndarray) -> np.ndarray:
         arr = np.asarray(arr, dtype=np.float64)
-        if not len(arr):
+        m = len(arr)
+        if not m:
             return arr
-        joined = np.concatenate([self._tail, arr])
-        # exact for every new position: during warm-up (n < window-1) the
-        # tail holds the ENTIRE prefix, so local index == global index and
-        # the short-prefix mean divides by the true length; afterwards the
-        # tail holds exactly the window-1 values each new mean reaches back
-        # to.  moving_average's own max(0, i-w+1) ramp handles both.
-        out = moving_average(joined, self.window)[len(self._tail):]
-        self._n += len(arr)
-        keep = self.window - 1
-        self._tail = joined[len(joined) - keep:] if keep else joined[:0]
+        new = np.cumsum(np.concatenate([self._csum[-1:], arr]))[1:]
+        full = np.concatenate([self._csum, new])  # indices _lo_idx.._n+m
+        idx = np.arange(self._n + 1, self._n + m + 1)
+        lo = np.maximum(0, idx - self.window)
+        out = (full[idx - self._lo_idx] - full[lo - self._lo_idx]) / (idx - lo)
+        self._n += m
+        # future means reach back to csum[max(0, n+1-window)]
+        keep_from = max(0, self._n + 1 - self.window)
+        self._csum = full[keep_from - self._lo_idx:]
+        self._lo_idx = keep_from
         return out
 
 
@@ -134,6 +146,13 @@ class StreamingPTHR:
             while (self._start < total_known
                    and prob(self._start) <= self.threshold):
                 self._start += 1
+            # frames behind the walk pointer can never be revisited — drop
+            # them NOW, or a long sub-threshold (silent) stream retains its
+            # entire history in _buf despite the bounded-lookahead contract
+            drop = self._start - self._base
+            if drop > 0:
+                self._buf = self._buf[drop:]
+                self._base = self._start
             if self._start >= total_known:
                 break
             avail = total_known - self._start
@@ -153,11 +172,6 @@ class StreamingPTHR:
                 break  # need more lookahead
             spans.append((self._start, end))
             self._start = end + 1
-            # drop frames the walk can never revisit
-            drop = self._start - self._base
-            if drop > 0:
-                self._buf = self._buf[drop:]
-                self._base = self._start
         return spans
 
 

@@ -46,7 +46,17 @@ def parse_cli(argv: list[str] | None = None) -> tuple[bool, list[str]]:
     "Parameter search", inference_st_pipe.py with Hydra's basic sweeper)."""
     argv = sys.argv[1:] if argv is None else argv
     multirun = any(a in ("-m", "--multirun") for a in argv)
-    return multirun, parse_overrides(argv)
+    overrides = parse_overrides(argv)
+    if not multirun:
+        # hydra parity: a choice sweep ('a=1,2') in single-run mode is an
+        # up-front error, not a literal string that crashes deep in the run
+        for ov in overrides:
+            key, _, raw = ov.partition("=")
+            if len(_split_sweep(raw)) > 1:
+                raise ValueError(
+                    f"Ambiguous value for argument '{ov}': comma-separated "
+                    "choice sweeps need -m / --multirun")
+    return multirun, overrides
 
 
 def _split_sweep(value: str) -> list[str]:

@@ -84,5 +84,11 @@ def main(argv=None) -> Path:
     return out
 
 
+def console() -> None:
+    """setuptools console entry point: main() returns run data for
+    in-process callers; discard it so ``sys.exit(console())`` exits 0."""
+    main()
+
+
 if __name__ == "__main__":
     main()

@@ -29,8 +29,6 @@ from .common import (
     wavs_from_dir,
 )
 
-CONF_DIR = Path(__file__).resolve().parents[2] / "conf"
-
 
 def resolve_ckpt_path(config) -> str:
     """outputs/exp_name/ckpts/ckpt (reference inference.py:46-49)."""
@@ -111,6 +109,12 @@ def _run_job(overrides: list[str], multirun: bool) -> list[dict]:
     with open(out_dir / config.cust_seg_yaml, "w") as f:
         yaml.dump(yaml_content, f, default_flow_style=True)
     return yaml_content
+
+
+def console() -> None:
+    """setuptools console entry point: main() returns run data for
+    in-process callers; discard it so ``sys.exit(console())`` exits 0."""
+    main()
 
 
 if __name__ == "__main__":

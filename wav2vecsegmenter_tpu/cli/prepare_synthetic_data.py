@@ -334,5 +334,11 @@ def main(argv=None) -> None:
     print(f"All stages finished (Elapsed: {time.perf_counter() - t_global})")
 
 
+def console() -> None:
+    """setuptools console entry point: main() returns run data for
+    in-process callers; discard it so ``sys.exit(console())`` exits 0."""
+    main()
+
+
 if __name__ == "__main__":
     main()

@@ -73,5 +73,11 @@ def _run_job(overrides: list[str], multirun: bool) -> list[dict]:
     return yaml_content
 
 
+def console() -> None:
+    """setuptools console entry point: main() returns run data for
+    in-process callers; discard it so ``sys.exit(console())`` exits 0."""
+    main()
+
+
 if __name__ == "__main__":
     main()

@@ -28,5 +28,11 @@ def main(argv: list[str] | None = None) -> dict:
     return train(config)
 
 
+def console() -> None:
+    """setuptools console entry point: main() returns run data for
+    in-process callers; discard it so ``sys.exit(console())`` exits 0."""
+    main()
+
+
 if __name__ == "__main__":
     main()

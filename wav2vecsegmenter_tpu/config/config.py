@@ -32,6 +32,11 @@ class MissingMandatoryValue(Exception):
     pass
 
 
+class _MissingInterp(Exception):
+    """Internal: an interpolation reached a ??? value (resolve() turns the
+    whole interpolating string into MISSING)."""
+
+
 class Config(dict):
     """dict with attribute access, dotted-path get/set, and ??? handling."""
 
@@ -265,6 +270,8 @@ def resolve(cfg: Config, _root: Config | None = None) -> Config:
                 if not isinstance(node, dict) or part not in node:
                     raise KeyError(f"Interpolation '{expr}' not found")
                 node = node[part]
+            if isinstance(node, str) and node == MISSING:
+                raise _MissingInterp(expr)
             return node
 
         m = _INTERP_RE.fullmatch(s)
@@ -284,7 +291,14 @@ def resolve(cfg: Config, _root: Config | None = None) -> Config:
         if isinstance(node, list):
             return [walk(v, parent) for v in node]
         if isinstance(node, str) and "${" in node:
-            return _resolve_str(node, parent)
+            try:
+                return _resolve_str(node, parent)
+            except _MissingInterp:
+                # OmegaConf parity: a string interpolating a ??? is itself
+                # missing — it surfaces as MissingMandatoryValue on access
+                # (and as None via .get), never as a literal '???' leaking
+                # into run-directory paths
+                return MISSING
         return node
 
     return walk(cfg, cfg)

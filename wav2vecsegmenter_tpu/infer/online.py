@@ -167,13 +167,21 @@ class OnlineSegmenter:
         else:
             raw, _ = self.engine.run_batch(batch)
             raw = np.asarray(raw)[0]
-            valid = int(batch.ends[0] - batch.starts[0])
+            # the absolute frame clock advances by n_out per window, so
+            # EXACTLY n_out frames must reach the core.  The usable frames
+            # are min(collate's span, the raw row width): collate's -1
+            # correction can under-shoot the estimate, and for long windows
+            # (fractional 49.95 Hz accumulating past one frame) the conv
+            # output can exceed the row's out_len columns.
+            valid = min(int(batch.ends[0] - batch.starts[0]), len(raw), n_out)
             probs = raw[:valid]
-            if valid < n_out:
-                # batch-level -1-frame correction (collate): the conv stack
-                # yielded one frame fewer than the 49.95 Hz estimate; repeat
-                # the final prediction so the absolute frame clock stays
-                # aligned
+            if valid == 0:
+                # degenerate sub-frame window: nothing usable — feed
+                # silence like the excluded-row path
+                probs = np.zeros(n_out, np.float32)
+            elif valid < n_out:
+                # repeat the final prediction so the frame clock stays
+                # aligned (same spirit as the offline stitch's NaN fill)
                 probs = np.concatenate(
                     [probs, np.repeat(probs[-1:], n_out - valid)])
         self._out_head = end_out
