@@ -377,3 +377,159 @@ def test_online_frame_clock_robust_to_short_rows():
     seg.finish()
     total = int(inframes_to_outframes(3 * W + 300))
     assert sum(fed) == total == seg._out_head
+
+
+# ---------------------------------------------------------------------------
+# MultiStreamSegmenter: N concurrent streams through batched forwards
+# ---------------------------------------------------------------------------
+
+class _CountingEngine:
+    """Delegates run_batch, recording each call's real-row count and span."""
+
+    def __init__(self, engine):
+        self._engine = engine
+        self.calls = []  # (n_real, span) per run_batch
+
+    def run_batch(self, batch):
+        span = int((batch.ends[: batch.n_real] - batch.starts[: batch.n_real]).max())
+        self.calls.append((batch.n_real, span))
+        return self._engine.run_batch(batch)
+
+
+def _mux_wavs(rng, n_streams, secs, silent_stream=None, seg_len=4.0):
+    wavs = []
+    for k in range(n_streams):
+        n = int(secs[k] * 16000)
+        w = (rng.randn(n).astype(np.float32) * 0.1
+             * ((np.arange(n) % (16000 + 4000 * k)) < 12000))
+        if k == silent_stream:
+            W = int(seg_len * 16000)
+            w[W : 2 * W] = 0.0  # one full silent window (excluded row)
+        wavs.append(w)
+    return wavs
+
+
+@pytest.mark.parametrize("algorithm,algo", [
+    ("strm", dict(max_segment_length=3, min_segment_length=0.2,
+                  min_pause_length=0.2, threshold=0.5)),
+    ("pthr", dict(max_segment_length=2.5, min_segment_length=0.2,
+                  threshold=0.5, moving_average_window=0.1)),
+])
+def test_multistream_matches_single(algorithm, algo):
+    """Per-stream commits of the batched multiplexer == independent
+    OnlineSegmenter runs, and the windows really were batched."""
+    import jax
+
+    from wav2vecsegmenter_tpu.infer.online import (
+        MultiStreamSegmenter,
+        OnlineSegmenter,
+    )
+    from wav2vecsegmenter_tpu.infer.pipeline import WindowInference
+
+    model = tiny_shas()
+    engine = WindowInference(model, model.init(jax.random.PRNGKey(3)))
+    counting = _CountingEngine(engine)
+
+    rng = np.random.RandomState(23)
+    seg_len = 4.0
+    wavs = _mux_wavs(rng, 3, [18.7, 13.2, 21.0], silent_stream=0,
+                     seg_len=seg_len)
+
+    # ---- single-stream truth (chunk partition is immaterial) ----
+    want = []
+    for wav in wavs:
+        o = OnlineSegmenter(engine, segment_length=seg_len,
+                            algorithm=algorithm, **algo)
+        o.feed(wav)
+        o.finish()
+        want.append([(s.offset, s.duration) for s in o.segments])
+
+    # ---- multiplexed: interleaved feeds, different rates per stream ----
+    mux = MultiStreamSegmenter(counting, max_batch=4, segment_length=seg_len,
+                               algorithm=algorithm, **algo)
+    steps = [int(1.3 * seg_len * 16000), int(0.7 * seg_len * 16000),
+             int(2.1 * seg_len * 16000)]
+    pos = [0, 0, 0]
+    incremental = {k: [] for k in range(3)}
+    while any(pos[k] < len(wavs[k]) for k in range(3)):
+        chunks = {}
+        for k in range(3):
+            if pos[k] < len(wavs[k]):
+                chunks[k] = wavs[k][pos[k] : pos[k] + steps[k]]
+                pos[k] += steps[k]
+        for sid, segs in mux.feed(chunks).items():
+            incremental[sid].extend(segs)
+    for sid, segs in mux.finish_all().items():
+        incremental[sid].extend(segs)
+
+    for k in range(3):
+        got = [(s.offset, s.duration) for s in mux.segments(k)]
+        assert got == want[k], f"stream {k} diverged"
+        assert got == [(s.offset, s.duration) for s in incremental[k]]
+        assert len(got) > 0
+    # batching actually happened: at least one multi-row forward
+    assert max(n for n, _ in counting.calls) > 1
+    # and strictly fewer engine calls than total windows run through it
+    total_windows = sum(n for n, _ in counting.calls)
+    assert len(counting.calls) < total_windows
+
+
+def test_multistream_fractional_spans_grouped():
+    """At segment_length=14 the 49.95 Hz clock yields 699- AND 700-frame
+    window spans; streams at different window indices must not share a
+    batch (collate's batch-level -1 correction would couple them)."""
+    import jax
+
+    from wav2vecsegmenter_tpu.infer.online import (
+        MultiStreamSegmenter,
+        OnlineSegmenter,
+    )
+    from wav2vecsegmenter_tpu.infer.pipeline import WindowInference
+
+    model = tiny_shas()
+    engine = WindowInference(model, model.init(jax.random.PRNGKey(4)))
+    counting = _CountingEngine(engine)
+
+    rng = np.random.RandomState(31)
+    seg_len = 14.0
+    wavs = _mux_wavs(rng, 2, [43.1, 57.4], seg_len=seg_len)
+    algo = dict(max_segment_length=3, min_segment_length=0.2,
+                min_pause_length=0.2, threshold=0.5)
+
+    want = []
+    for wav in wavs:
+        o = OnlineSegmenter(engine, segment_length=seg_len, **algo)
+        o.feed(wav)
+        o.finish()
+        want.append([(s.offset, s.duration) for s in o.segments])
+
+    seen_spans = []  # the span mix of each batched-feed round
+
+    class SpyMux(MultiStreamSegmenter):
+        def _batched_probs(self, examples):
+            seen_spans.append({ex[3] for ex in examples})
+            return super()._batched_probs(examples)
+
+    mux = SpyMux(counting, max_batch=4, segment_length=seg_len, **algo)
+    # stream 1 runs 2 windows ahead so window indices (and spans) differ
+    W = int(seg_len * 16000)
+    mux.feed({1: wavs[1][: 2 * W]})
+    pos = [0, 2 * W]
+    step = int(1.5 * W)
+    while any(pos[k] < len(wavs[k]) for k in range(2)):
+        chunks = {}
+        for k in range(2):
+            if pos[k] < len(wavs[k]):
+                chunks[k] = wavs[k][pos[k] : pos[k] + step]
+                pos[k] += step
+        mux.feed(chunks)
+    mux.finish_all()
+
+    for k in range(2):
+        got = [(s.offset, s.duration) for s in mux.segments(k)]
+        assert got == want[k], f"stream {k} diverged"
+        assert len(got) > 0
+    # at least one feed round really saw BOTH span groups at once (the
+    # grouping path ran; a mixed batch would couple the streams through
+    # collate's batch-level -1 correction)
+    assert any(spans == {699, 700} for spans in seen_spans), seen_spans

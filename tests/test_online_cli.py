@@ -141,3 +141,28 @@ def test_online_cli_single_wav(workspace, capsys):
     # emit_jsonl=false: nothing printed
     out = capsys.readouterr().out
     assert not any(ln.startswith("{") for ln in out.splitlines())
+
+
+def test_online_cli_concurrent_streams_match_sequential(workspace, capsys):
+    """concurrent_streams=2 serves both wavs through batched forwards and
+    produces EXACTLY the sequential replay's yaml (grouped batching keeps
+    per-stream commits identical), with JSON lines for both wavs
+    interleaved while both streams are live."""
+    algo = ["algorithm=strm", "algorithm.max_segment_length=3"]
+    seq, _ = _run_online(workspace, "out_seq_for_conc", algo)
+    capsys.readouterr()  # drop the sequential run's lines
+    conc, out_dir = _run_online(
+        workspace, "out_conc", algo + ["concurrent_streams=2"])
+    assert conc == seq and len(conc) > 0
+
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == len(conc)
+    assert {ln["wav"] for ln in lines} == {"talkA.wav", "talkB.wav"}
+    # true concurrency: commits of the two wavs interleave in time
+    wavs_in_commit_order = [ln["wav"] for ln in lines]
+    first_b = wavs_in_commit_order.index("talkB.wav")
+    assert "talkA.wav" in wavs_in_commit_order[first_b:]
+
+    saved = yaml.safe_load(open(out_dir / "custom_segments.yaml"))
+    assert saved == yaml.safe_load(yaml.dump(conc))

@@ -89,14 +89,25 @@ def _run_job(overrides: list[str], multirun: bool) -> list[dict]:
     emit_jsonl = bool(config.get("emit_jsonl", True))
     chunk_samples = max(1, int(float(config.chunk_secs) * INPUT_SAMPLE_RATE))
 
+    n_concurrent = int(config.get("concurrent_streams", 0) or 0)
     yaml_content: list[dict] = []
-    for wav_path in wav_paths:
-        segments = _stream_wav(
-            engine, config, tag, algo_conf, wav_path, chunk_samples,
-            emit_jsonl,
+    if n_concurrent > 1 and len(wav_paths) > 1:
+        by_wav = _stream_concurrent(
+            engine, config, tag, algo_conf, wav_paths, chunk_samples,
+            emit_jsonl, n_concurrent,
         )
-        yaml_content = update_yaml_content(yaml_content, segments,
-                                           Path(wav_path).name)
+        for wav_path in wav_paths:
+            yaml_content = update_yaml_content(
+                yaml_content, by_wav[Path(wav_path).name],
+                Path(wav_path).name)
+    else:
+        for wav_path in wav_paths:
+            segments = _stream_wav(
+                engine, config, tag, algo_conf, wav_path, chunk_samples,
+                emit_jsonl,
+            )
+            yaml_content = update_yaml_content(yaml_content, segments,
+                                               Path(wav_path).name)
 
     logger.info("Number of segments: %d", len(yaml_content))
     cust_seg_yaml = output_dir / config.cust_seg_yaml
@@ -150,6 +161,84 @@ def _stream_wav(engine, config, tag, algo_conf, wav_path: Path,
                 Path(wav_path).name, talk_secs, dt,
                 talk_secs / dt if dt > 0 else 0.0, len(online.segments))
     return online.segments
+
+
+def _stream_concurrent(engine, config, tag, algo_conf, wav_paths,
+                       chunk_samples: int, emit_jsonl: bool,
+                       n_concurrent: int) -> dict:
+    """Serve wavs as concurrent streams through ONE batched encoder.
+
+    Up to ``n_concurrent`` wavs replay simultaneously; each tick feeds one
+    chunk per active stream and all filled windows across streams run in
+    batched forwards (infer/online.MultiStreamSegmenter — the TPU-serving
+    configuration: batch-1 forwards leave the MXU mostly idle).  When a
+    stream's wav ends, the next wav is admitted in its place, so the pool
+    stays full.  Commits are identical to the sequential path per stream
+    (tested); returns {wav name: [Segment]}."""
+    from ..infer.online import MultiStreamSegmenter
+
+    mux = MultiStreamSegmenter(
+        engine, max_batch=int(config.get("max_batch", 8)),
+        segment_length=float(config.segment_length), algorithm=tag,
+        **algo_conf)
+
+    queue = list(wav_paths)
+    active: dict = {}  # sid -> [wav_path, pos, total]
+
+    def admit():
+        while len(active) < n_concurrent and queue:
+            wav_path = queue.pop(0)
+            total, sr, _ = wav_info(wav_path)
+            if sr != INPUT_SAMPLE_RATE:
+                raise ValueError(
+                    f"{wav_path}: sample rate {sr} != {INPUT_SAMPLE_RATE} "
+                    "(resample offline; the reference pipeline is "
+                    "16 kHz-only)")
+            sid = Path(wav_path).name
+            mux.add_stream(sid)
+            active[sid] = [wav_path, 0, total]
+
+    def emit(sid, segs):
+        if not emit_jsonl or not segs:
+            return
+        pos_s = active[sid][1] / INPUT_SAMPLE_RATE
+        for s in segs:
+            print(json.dumps({
+                "wav": sid,
+                "offset": s.offset,
+                "duration": s.duration,
+                "stream_pos_s": round(pos_s, 3),
+                "lag_s": round(pos_s - (s.offset + s.duration), 3),
+            }), flush=True)
+
+    by_wav: dict = {}
+    total_secs = 0.0
+    t0 = time.perf_counter()
+    admit()
+    while active:
+        chunks = {}
+        for sid, st in active.items():
+            chunk = read_wav_window(st[0], st[1], chunk_samples)
+            if len(chunk):
+                st[1] += len(chunk)
+                chunks[sid] = chunk
+        committed = mux.feed(chunks) if chunks else {}
+        for sid, segs in committed.items():
+            emit(sid, segs)
+        done = [sid for sid, st in active.items()
+                if st[1] >= st[2] or (sid not in chunks)]
+        for sid in done:
+            emit(sid, mux.finish(sid))
+            by_wav[sid] = mux.segments(sid)
+            total_secs += active[sid][1] / INPUT_SAMPLE_RATE
+            del active[sid]
+        admit()
+    dt = time.perf_counter() - t0
+    logger.info(
+        "%d wavs served as %d-way concurrent streams: %.1fs audio in "
+        "%.2fs (%.0fx RT aggregate)", len(wav_paths), n_concurrent,
+        total_secs, dt, total_secs / dt if dt > 0 else 0.0)
+    return by_wav
 
 
 def console() -> None:

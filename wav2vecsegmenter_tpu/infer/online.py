@@ -114,11 +114,26 @@ class OnlineSegmenter:
         if len(samples):
             self._pending = np.concatenate([self._pending, samples])
         out: list[Segment] = []
-        while len(self._pending) >= self.window_inframes:
-            window = self._pending[: self.window_inframes]
-            self._pending = self._pending[self.window_inframes:]
+        for window in self._pop_windows():
             out.extend(self._run_window(window))
         return out
+
+    def _buffer(self, samples: np.ndarray) -> None:
+        """Append samples without running any windows (MultiStream path)."""
+        assert not self._finished, "feed() after finish()"
+        samples = np.asarray(samples, np.float32)
+        if samples.ndim != 1:
+            raise ValueError("feed expects a mono 1-D float array")
+        if len(samples):
+            self._pending = np.concatenate([self._pending, samples])
+
+    def _pop_windows(self) -> list[np.ndarray]:
+        """Pop every full window currently buffered, in stream order."""
+        wins: list[np.ndarray] = []
+        while len(self._pending) >= self.window_inframes:
+            wins.append(self._pending[: self.window_inframes])
+            self._pending = self._pending[self.window_inframes:]
+        return wins
 
     def finish(self) -> list[Segment]:
         """Flush the final partial window and the algorithm core; returns
@@ -147,49 +162,70 @@ class OnlineSegmenter:
         return list(self._segments)
 
     # ------------------------------------------------------------------
-    def _run_window(self, window: np.ndarray) -> list[Segment]:
+    # Per-window steps, split so MultiStreamSegmenter can batch the engine
+    # call across streams while reusing the exact same clock/core logic.
+
+    def _window_example(self, window: np.ndarray):
+        """Advance the input clock; returns (collate example, end_out)."""
         start_in = self._consumed_inframes
         end_in = start_in + len(window)
         self._consumed_inframes = end_in
         start_out = int(inframes_to_outframes(start_in))
         end_out = int(inframes_to_outframes(end_in))
-        batch = collate(
-            [(window, None, 0, end_out - start_out)],
-            batch_size=1,
-            audio_len=self.window_inframes,
-            out_len=self.out_len,
-        )
-        n_out = end_out - start_out
-        if not batch.included[0]:
+        return (window, None, 0, end_out - start_out), end_out
+
+    @staticmethod
+    def _row_probs(batch, raw_row, i: int, n_out: int) -> np.ndarray:
+        """Exactly n_out usable probabilities from collated row ``i``.
+
+        The absolute frame clock advances by n_out per window, so EXACTLY
+        n_out frames must reach the core.  The usable frames are
+        min(collate's span, the raw row width): collate's -1 correction can
+        under-shoot the estimate, and for long windows (fractional 49.95 Hz
+        accumulating past one frame) the conv output can exceed the row's
+        out_len columns."""
+        if not batch.included[i]:
             # silent window: the offline stitch writes prob 0 for excluded
             # rows (pipeline.stitch_row), i.e. below any threshold
-            probs = np.zeros(n_out, np.float32)
-        else:
-            raw, _ = self.engine.run_batch(batch)
-            raw = np.asarray(raw)[0]
-            # the absolute frame clock advances by n_out per window, so
-            # EXACTLY n_out frames must reach the core.  The usable frames
-            # are min(collate's span, the raw row width): collate's -1
-            # correction can under-shoot the estimate, and for long windows
-            # (fractional 49.95 Hz accumulating past one frame) the conv
-            # output can exceed the row's out_len columns.
-            valid = min(int(batch.ends[0] - batch.starts[0]), len(raw), n_out)
-            probs = raw[:valid]
-            if valid == 0:
-                # degenerate sub-frame window: nothing usable — feed
-                # silence like the excluded-row path
-                probs = np.zeros(n_out, np.float32)
-            elif valid < n_out:
-                # repeat the final prediction so the frame clock stays
-                # aligned (same spirit as the offline stitch's NaN fill)
-                probs = np.concatenate(
-                    [probs, np.repeat(probs[-1:], n_out - valid)])
+            return np.zeros(n_out, np.float32)
+        raw_row = np.asarray(raw_row)
+        valid = min(int(batch.ends[i] - batch.starts[i]), len(raw_row), n_out)
+        if valid <= 0:
+            # degenerate sub-frame window: nothing usable — feed silence
+            # like the excluded-row path
+            return np.zeros(n_out, np.float32)
+        probs = raw_row[:valid]
+        if valid < n_out:
+            # repeat the final prediction so the frame clock stays aligned
+            # (same spirit as the offline stitch's NaN fill)
+            probs = np.concatenate(
+                [probs, np.repeat(probs[-1:], n_out - valid)])
+        return probs
+
+    def _apply_window(self, probs: np.ndarray, end_out: int) -> list[Segment]:
+        """Feed one window's probabilities to the algorithm core."""
         self._out_head = end_out
         if self.algorithm == "strm":
             feed = (probs > self.threshold).astype(np.int8)
         else:
             feed = self._ma.feed(probs) if self._ma is not None else probs
         return self._commit(self._core.feed(feed))
+
+    def _run_window(self, window: np.ndarray) -> list[Segment]:
+        example, end_out = self._window_example(window)
+        n_out = example[3]
+        batch = collate(
+            [example],
+            batch_size=1,
+            audio_len=self.window_inframes,
+            out_len=self.out_len,
+        )
+        if not batch.included[0]:
+            probs = np.zeros(n_out, np.float32)
+        else:
+            raw, _ = self.engine.run_batch(batch)
+            probs = self._row_probs(batch, np.asarray(raw)[0], 0, n_out)
+        return self._apply_window(probs, end_out)
 
     def _commit(self, spans) -> list[Segment]:
         new: list[Segment] = []
@@ -204,3 +240,133 @@ class OnlineSegmenter:
             self._segments.append(seg)
             new.append(seg)
         return new
+
+
+class MultiStreamSegmenter:
+    """Serve many concurrent audio streams through ONE batched encoder.
+
+    Batch-1 online forwards leave the MXU mostly idle; real deployments
+    serve many streams at once.  This multiplexer holds one
+    :class:`OnlineSegmenter` state per stream and, on every
+    :meth:`feed` call, runs all streams' newly filled windows through the
+    engine in batches of up to ``max_batch`` (padded to the next power of
+    two, bounding compiled shapes to log2(max_batch)+1 programs).  All
+    batches of a feed round are dispatched before any is read back, so
+    uploads overlap device compute (the engine's run_batch is async).
+
+    Committed segments are EXACTLY those of one :class:`OnlineSegmenter`
+    per stream: full windows all share ``segment_length`` samples, so the
+    reference's batch-max normalization (PARITY.md) sees identical
+    statistics regardless of batching, and windows are grouped by
+    their output span before batching so collate's batch-level ±1-frame
+    correction (lib/evaluate.py:62-68 semantics) cannot couple streams
+    whose fractional 49.95 Hz clocks disagree (e.g. 699- vs 700-frame
+    windows at segment_length=14).  Final partial windows flush batch-1
+    through the stream's own :meth:`OnlineSegmenter.finish`.
+
+    Usage::
+
+        mux = MultiStreamSegmenter(engine, algorithm="pthr", threshold=0.1)
+        mux.add_stream("a"); mux.add_stream("b")
+        done = mux.feed({"a": chunk_a, "b": chunk_b})  # {sid: [Segment]}
+        tail_a = mux.finish("a")
+    """
+
+    def __init__(self, engine: WindowInference, max_batch: int = 8,
+                 **stream_kwargs):
+        self.engine = engine
+        self.max_batch = int(max_batch)
+        assert self.max_batch >= 1
+        self._stream_kwargs = stream_kwargs
+        self._streams: dict = {}
+
+    # ------------------------------------------------------------------
+    def add_stream(self, sid) -> None:
+        if sid in self._streams:
+            raise ValueError(f"stream {sid!r} already exists")
+        self._streams[sid] = OnlineSegmenter(self.engine,
+                                             **self._stream_kwargs)
+
+    def stream(self, sid) -> OnlineSegmenter:
+        return self._streams[sid]
+
+    def segments(self, sid) -> list[Segment]:
+        return self._streams[sid].segments
+
+    # ------------------------------------------------------------------
+    def feed(self, chunks: dict) -> dict:
+        """Buffer per-stream samples, then run every filled window across
+        all streams in batched forwards.  Returns {sid: [Segment]} with the
+        segments each stream finalized this round (sids with none are
+        omitted).  Unknown sids are added automatically."""
+        for sid, samples in chunks.items():
+            if sid not in self._streams:
+                self.add_stream(sid)
+            self._streams[sid]._buffer(samples)
+
+        # jobs in per-stream chronological order
+        jobs = []  # (sid, stream, example, end_out)
+        for sid in chunks:
+            st = self._streams[sid]
+            for window in st._pop_windows():
+                example, end_out = st._window_example(window)
+                jobs.append((sid, st, example, end_out))
+
+        out: dict = {}
+        if jobs:
+            probs = self._batched_probs([ex for _, _, ex, _ in jobs])
+            for (sid, st, _ex, end_out), p in zip(jobs, probs):
+                segs = st._apply_window(p, end_out)
+                if segs:
+                    out.setdefault(sid, []).extend(segs)
+        return out
+
+    def finish(self, sid) -> list[Segment]:
+        """Flush one stream (final partial window batch-1 + core flush)."""
+        return self._streams[sid].finish()
+
+    def finish_all(self) -> dict:
+        return {sid: st.finish() for sid, st in self._streams.items()
+                if not st._finished}
+
+    # ------------------------------------------------------------------
+    def _batched_probs(self, examples: list) -> list[np.ndarray]:
+        """Probabilities for each example, batching engine calls.
+
+        Groups by output span (collate's ±1 correction is batch-level),
+        slabs each group at <= max_batch windows, dispatches every slab
+        before collecting any."""
+        order = list(range(len(examples)))
+        groups: dict[int, list[int]] = {}
+        for i in order:
+            groups.setdefault(examples[i][3], []).append(i)
+
+        any_st = next(iter(self._streams.values()))
+        audio_len = any_st.window_inframes
+        out_len = any_st.out_len
+
+        slabs = []  # (idxs, batch, device_probs | None)
+        for n_out, idxs in groups.items():
+            for k in range(0, len(idxs), self.max_batch):
+                part = idxs[k: k + self.max_batch]
+                rows = [examples[i] for i in part]
+                slots = 1 << (len(part) - 1).bit_length()
+                batch = collate(rows, batch_size=slots,
+                                audio_len=audio_len, out_len=out_len)
+                if batch.included.any():
+                    probs_d, _ = self.engine.run_batch(batch)
+                else:
+                    probs_d = None  # all-silent slab: no device work
+                slabs.append((part, batch, probs_d))
+
+        result: list = [None] * len(examples)
+        for part, batch, probs_d in slabs:
+            raw = None if probs_d is None else np.asarray(probs_d)
+            for row, i in enumerate(part):
+                n_out = examples[i][3]
+                if raw is None:
+                    result[i] = np.zeros(n_out, np.float32)
+                else:
+                    result[i] = OnlineSegmenter._row_probs(
+                        batch, raw[row], row, n_out)
+        return result
