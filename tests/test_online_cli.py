@@ -166,3 +166,43 @@ def test_online_cli_concurrent_streams_match_sequential(workspace, capsys):
 
     saved = yaml.safe_load(open(out_dir / "custom_segments.yaml"))
     assert saved == yaml.safe_load(yaml.dump(conc))
+
+
+def test_online_cli_stdin_pcm_matches_wav_replay(workspace, capsys,
+                                                 monkeypatch):
+    """wav_path=- serves raw s16le PCM from stdin; commits match the wav
+    replay of the same audio bit-for-bit (both decode to int16/32768).  A
+    stray trailing byte (torn sample) is carried/dropped, not crashed on."""
+    import io
+    import sys as _sys
+
+    import numpy as np
+
+    algo = ["algorithm=strm", "algorithm.max_segment_length=3"]
+    want, _ = _run_online(
+        workspace, "out_stdin_ref",
+        algo + [f"wav_path={workspace}/wav/talkB.wav", "emit_jsonl=false"])
+
+    from wav2vecsegmenter_tpu.data.audio import read_wav_window, wav_info
+
+    total, _, _ = wav_info(workspace / "wav" / "talkB.wav")
+    floats = read_wav_window(workspace / "wav" / "talkB.wav", 0, total)
+    pcm = (np.clip(np.rint(floats * 32768.0), -32768, 32767)
+           .astype("<i2").tobytes()) + b"\x00"  # torn final byte
+
+    class FakeStdin:
+        buffer = io.BytesIO(pcm)
+
+    monkeypatch.setattr(_sys, "stdin", FakeStdin())
+    capsys.readouterr()
+    got, out_dir = _run_online(
+        workspace, "out_stdin",
+        algo + ["wav_path=-", "+stream_name=live"])
+
+    assert [
+        {**r, "wav": "live"} for r in want
+    ] == got and len(got) > 0
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == len(got)
+    assert all(ln["wav"] == "live" for ln in lines)

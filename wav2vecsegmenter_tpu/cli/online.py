@@ -81,16 +81,30 @@ def _run_job(overrides: list[str], multirun: bool) -> list[dict]:
             f"online serving needs a causal algorithm (strm/pthr), got "
             f"'{tag}' — pDAC needs the whole talk; use the offline CLIs")
 
+    emit_jsonl = bool(config.get("emit_jsonl", True))
+    chunk_samples = max(1, int(float(config.chunk_secs) * INPUT_SAMPLE_RATE))
+
+    if config.get("wav_path") == "-":
+        # live source: raw s16le mono 16 kHz PCM on stdin, e.g.
+        #   arecord -f S16_LE -r 16000 -c 1 | w2vseg-online wav_path=- ...
+        name = str(config.get("stream_name", "stdin"))
+        segments = _stream_stdin(engine, config, tag, algo_conf,
+                                 chunk_samples, emit_jsonl, name)
+        yaml_content = update_yaml_content([], segments, name)
+        logger.info("Number of segments: %d", len(yaml_content))
+        cust_seg_yaml = output_dir / config.cust_seg_yaml
+        with open(cust_seg_yaml, "w") as f:
+            yaml.dump(yaml_content, f, default_flow_style=True)
+        logger.info("Saved to [%s].", cust_seg_yaml)
+        return yaml_content
+
     if config.get("wav_path"):
         wav_paths = [Path(config.wav_path)]
     else:
         wav_paths = wavs_from_yaml(config)
 
-    emit_jsonl = bool(config.get("emit_jsonl", True))
-    chunk_samples = max(1, int(float(config.chunk_secs) * INPUT_SAMPLE_RATE))
-
     n_concurrent = int(config.get("concurrent_streams", 0) or 0)
-    yaml_content: list[dict] = []
+    yaml_content = []
     if n_concurrent > 1 and len(wav_paths) > 1:
         by_wav = _stream_concurrent(
             engine, config, tag, algo_conf, wav_paths, chunk_samples,
@@ -117,6 +131,63 @@ def _run_job(overrides: list[str], multirun: bool) -> list[dict]:
     return yaml_content
 
 
+def _emitter(name: str, emit_jsonl: bool):
+    """JSON-line printer for committed segments of one stream."""
+    def emit(segs, stream_samples):
+        if not emit_jsonl:
+            return
+        pos_s = stream_samples / INPUT_SAMPLE_RATE
+        for s in segs:
+            print(json.dumps({
+                "wav": name,
+                "offset": s.offset,
+                "duration": s.duration,
+                "stream_pos_s": round(pos_s, 3),
+                "lag_s": round(pos_s - (s.offset + s.duration), 3),
+            }), flush=True)
+    return emit
+
+
+def _stream_stdin(engine, config, tag, algo_conf, chunk_samples: int,
+                  emit_jsonl: bool, name: str):
+    """Serve a LIVE source: raw s16le mono 16 kHz PCM read from stdin until
+    EOF.  Same commit semantics as the wav replay paths; the stream clock is
+    the byte count, so lag_s is the true serving latency behind the source."""
+    import sys
+
+    import numpy as np
+
+    online = OnlineSegmenter(
+        engine,
+        segment_length=float(config.segment_length),
+        algorithm=tag,
+        **algo_conf,
+    )
+    emit = _emitter(name, emit_jsonl)
+    stdin = sys.stdin.buffer
+    carry = b""
+    pos = 0
+    eof = False
+    t0 = time.perf_counter()
+    while not eof:
+        buf = stdin.read(chunk_samples * 2)
+        eof = not buf
+        data = carry + buf
+        n2 = len(data) // 2 * 2  # torn sample at a read boundary carries
+        data, carry = data[:n2], data[n2:]
+        if data:
+            chunk = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+            pos += len(chunk)
+            emit(online.feed(chunk), pos)
+    emit(online.finish(), pos)
+    dt = time.perf_counter() - t0
+    talk_secs = pos / INPUT_SAMPLE_RATE
+    logger.info("%s: %.1fs live audio served in %.2fs (%.0fx RT), "
+                "%d segments", name, talk_secs, dt,
+                talk_secs / dt if dt > 0 else 0.0, len(online.segments))
+    return online.segments
+
+
 def _stream_wav(engine, config, tag, algo_conf, wav_path: Path,
                 chunk_samples: int, emit_jsonl: bool):
     """Replay one wav through an OnlineSegmenter; returns its segments."""
@@ -132,19 +203,7 @@ def _stream_wav(engine, config, tag, algo_conf, wav_path: Path,
         algorithm=tag,
         **algo_conf,
     )
-
-    def emit(segs, stream_samples):
-        if not emit_jsonl:
-            return
-        pos_s = stream_samples / INPUT_SAMPLE_RATE
-        for s in segs:
-            print(json.dumps({
-                "wav": Path(wav_path).name,
-                "offset": s.offset,
-                "duration": s.duration,
-                "stream_pos_s": round(pos_s, 3),
-                "lag_s": round(pos_s - (s.offset + s.duration), 3),
-            }), flush=True)
+    emit = _emitter(Path(wav_path).name, emit_jsonl)
 
     t0 = time.perf_counter()
     pos = 0

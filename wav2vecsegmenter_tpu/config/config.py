@@ -114,13 +114,22 @@ def merge(base: Any, override: Any) -> Any:
 
 
 def _parse_value(text: str) -> Any:
-    """Parse a CLI override value with YAML scalar rules."""
+    """Parse a CLI override value with YAML scalar rules.
+
+    Collections are accepted only in flow style (``[a,b]`` / ``{a: 1}``),
+    matching Hydra's override grammar — YAML *block* constructs that a
+    scalar can accidentally trigger (``wav_path=-`` parses as ``[None]``
+    under full YAML) stay plain strings."""
     if text == "":
         return None
     try:
-        return yaml.safe_load(text)
+        value = yaml.safe_load(text)
     except yaml.YAMLError:
         return text
+    if (isinstance(value, (list, dict))
+            and not text.lstrip().startswith(("[", "{"))):
+        return text
+    return value
 
 
 def _load_yaml_file(path: Path) -> Config:
