@@ -23,6 +23,11 @@ Modes (env BENCH_MODE):
     to the 3.4 s/step measured on this rig in round 1 (>1 is faster).
     The driver records the default mode; BENCH_TRAIN_r{N}.json artifacts
     are committed from TPU runs of this mode each round.
+  * "online": multi-stream live serving (infer/online.MultiStreamSegmenter):
+    BENCH_STREAMS concurrent streams replayed in 1 s ticks, windows batched
+    across streams into one forward.  value = aggregate serving xRT per
+    chip; vs_baseline = value / 50 (same north-star).  Committed as
+    BENCH_ONLINE_r{N}.json from TPU runs.
 
 W2VSEG_BENCH_CKPT=<.pt or orbax dir> benches through the production
 checkpoint-load path instead of random weights.
@@ -141,6 +146,111 @@ def bench_train() -> None:
           f"est_mfu={mfu:.3f}", file=sys.stderr)
 
 
+def bench_online() -> None:
+    """Multi-stream live-serving benchmark (the TPU serving configuration).
+
+    BENCH_STREAMS concurrent 16 kHz streams are replayed in 1 s ticks
+    through MultiStreamSegmenter; every tick feeds all streams, filled
+    windows run in cross-stream batched forwards.  Aggregate serving xRT =
+    total audio-seconds / wall.  The algorithmic commit lag (stream_pos -
+    segment end at commit) is reported to stderr — it is a property of the
+    bounded-lookahead algorithms, not of machine speed."""
+    from wav2vecsegmenter_tpu.core.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vecsegmenter_tpu.infer.online import MultiStreamSegmenter
+    from wav2vecsegmenter_tpu.infer.pipeline import WindowInference
+    from wav2vecsegmenter_tpu.models.shas import SHAS
+
+    on_tpu = jax.default_backend() == "tpu"
+    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    keep_layers = 24 if on_tpu else 2
+    n_streams = int(os.environ.get("BENCH_STREAMS", 16 if on_tpu else 4))
+    talk_secs = float(os.environ.get(
+        "BENCH_TALK_SECS", 120.0 if on_tpu else 12.0))
+    window_secs = 20.0 if on_tpu else 4.0
+    max_batch = int(os.environ.get("BENCH_BATCH", 8))
+
+    model = SHAS(
+        wav2vec_model_name="facebook/wav2vec2-xls-r-300m",
+        wav2vec_keep_layers=keep_layers,
+        n_transformer_enc_layers=1,
+        n_transformer_enc_heads=8,
+        init_dropout=0.1,
+    )
+    if not on_tpu:
+        from wav2vecsegmenter_tpu.models.wav2vec2 import Wav2Vec2Config
+
+        model.w2v_cfg = Wav2Vec2Config(
+            hidden_size=64, num_layers=2, num_heads=4, ffn_dim=128,
+            conv_dim=(32,) * 7, conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+            conv_stride=(5, 2, 2, 2, 2, 2, 2),
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        )
+        model.d_model = 64
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(jax.random.PRNGKey(0))
+    if on_tpu:
+        params = jax.device_put(params, jax.devices()[0])
+    engine = WindowInference(model, params, loss_tag="bce",
+                             compute_dtype=compute_dtype)
+
+    algo = dict(algorithm="pthr", max_segment_length=10,
+                min_segment_length=0.2, threshold=0.3,
+                moving_average_window=0.1)
+    rng = np.random.RandomState(0)
+    n = int(talk_secs * 16000)
+    streams = {
+        k: (rng.randn(n).astype(np.float32) * 0.1
+            * ((np.arange(n) % (48000 + 1600 * k)) < 40000))
+        for k in range(n_streams)
+    }
+
+    def run_once():
+        mux = MultiStreamSegmenter(engine, max_batch=max_batch,
+                                   segment_length=window_secs, **algo)
+        tick = 16000  # 1 s of audio per stream per tick
+        lags, n_segs = [], 0
+        for t0_s in range(0, n, tick):
+            committed = mux.feed(
+                {k: a[t0_s: t0_s + tick] for k, a in streams.items()})
+            pos_s = (t0_s + tick) / 16000
+            for segs in committed.values():
+                n_segs += len(segs)
+                lags += [pos_s - (s.offset + s.duration) for s in segs]
+        for segs in mux.finish_all().values():
+            n_segs += len(segs)
+        return n_segs, lags
+
+    run_once()  # warmup: compile every ladder slot in use
+    walls = []
+    n_passes = int(os.environ.get("BENCH_PASSES", 3))
+    for _ in range(n_passes):
+        t0 = time.perf_counter()
+        n_segs, lags = run_once()
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
+    total_audio = n_streams * talk_secs
+    xrt = total_audio / wall
+    print(json.dumps({
+        "metric": "online_serving_xRT_per_chip",
+        "value": round(xrt, 2),
+        "unit": (f"audio-sec/sec aggregate ({n_streams} live streams, "
+                 f"{window_secs:g}s windows, batch<={max_batch})"),
+        "vs_baseline": round(xrt / 50.0, 3),
+    }))
+    mean_lag = float(np.mean(lags)) if lags else 0.0
+    p95_lag = float(np.percentile(lags, 95)) if lags else 0.0
+    print(f"# streams={n_streams} talk_secs={talk_secs:g} segs={n_segs} "
+          f"walls={['%.2f' % w for w in walls]} "
+          f"algorithmic commit lag mean={mean_lag:.2f}s p95={p95_lag:.2f}s "
+          f"backend={jax.default_backend()} layers={keep_layers}",
+          file=sys.stderr)
+
+
 def _start_init_watchdog():
     """The axon tunnel can wedge with jax.devices() blocking forever
     (observed: device init hung 20+ min then UNAVAILABLE).  Emit a
@@ -152,16 +262,18 @@ def _start_init_watchdog():
     timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT", 1800))
     done = threading.Event()
 
-    train_mode = os.environ.get("BENCH_MODE", "infer") == "train"
+    mode = os.environ.get("BENCH_MODE", "infer")
+    metric = {"train": "train_step_lna_l24_ft24",
+              "online": "online_serving_xRT_per_chip"}.get(
+        mode, "xRT_segmentation_per_chip")
+    unit = {"train": "s/step (batch=4, 20s windows)"}.get(mode, "x_realtime")
 
     def watch():
         if not done.wait(timeout_s):
             print(json.dumps({
-                "metric": ("train_step_lna_l24_ft24" if train_mode
-                           else "xRT_segmentation_per_chip"),
+                "metric": metric,
                 "value": 0.0,
-                "unit": ("s/step (batch=4, 20s windows)" if train_mode
-                         else "x_realtime"),
+                "unit": unit,
                 "vs_baseline": 0.0,
                 "error": (f"device init did not complete within "
                           f"{timeout_s:.0f}s (TPU backend unavailable)"),
@@ -174,12 +286,13 @@ def _start_init_watchdog():
 
 def main() -> None:
     init_done = _start_init_watchdog()
-    if os.environ.get("BENCH_MODE", "infer") == "train":
+    mode = os.environ.get("BENCH_MODE", "infer")
+    if mode in ("train", "online"):
         import jax
 
         jax.default_backend()
         init_done.set()
-        bench_train()
+        (bench_train if mode == "train" else bench_online)()
         return
     from wav2vecsegmenter_tpu.core.runtime import setup_compilation_cache
 
