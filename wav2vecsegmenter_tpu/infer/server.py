@@ -1,0 +1,277 @@
+"""Live segmentation server — concurrent PCM connections, one batched chip.
+
+A production serving surface beyond the reference: clients connect over
+TCP (or a unix socket), send one JSON header line then raw s16le mono
+16 kHz PCM, and receive a JSON line per committed segment the moment it
+finalizes.  All connections multiplex through ONE
+:class:`~.online.MultiStreamSegmenter`, so every tick's filled windows
+across clients run in one batched encoder forward — the chip serves the
+whole pool, not one stream at a time.
+
+Wire protocol (newline-delimited JSON control plane, binary data plane):
+
+  client -> server:  {"name": "talk7"}\\n        header (name optional)
+                     <raw s16le mono 16 kHz PCM ...>
+                     shutdown(SHUT_WR) / FIN      end of stream
+  server -> client:  {"type": "segment", "name", "offset", "duration",
+                      "stream_pos_s", "lag_s"}\\n      per commit
+                     {"type": "end", "name", "n_segments",
+                      "audio_secs"}\\n                  after the tail flush
+
+The event loop is a single thread (selectors): socket reads are
+non-blocking, encoder calls are synchronous — batching makes them serve
+every stream at once, and PCM arrives at real time, orders of magnitude
+slower than the encoder runs.  No reference counterpart (the reference
+has no serving path at all); the segmentation semantics are exactly
+OnlineSegmenter's (offline-equivalent, tests/test_online.py).
+"""
+
+from __future__ import annotations
+
+import json
+import selectors
+import socket
+import time
+
+import numpy as np
+
+from ..constants import INPUT_SAMPLE_RATE
+from .online import MultiStreamSegmenter
+
+_RECV = 1 << 16
+
+
+class _Conn:
+    """Per-connection state: header parsing, torn-sample carry, name."""
+
+    def __init__(self, sock: socket.socket, sid: int):
+        self.sock = sock
+        self.sid = sid
+        self.name = f"conn{sid}"
+        self.header = b""
+        self.header_done = False
+        self.carry = b""
+        self.samples = 0
+        self.n_segments = 0
+        self.closed = False
+
+    def take_pcm(self, data: bytes) -> np.ndarray:
+        """Header-then-PCM framing; returns new float32 samples."""
+        if not self.header_done:
+            self.header += data
+            if b"\n" not in self.header:
+                if len(self.header) > 1 << 20:
+                    raise ValueError("header line never terminated")
+                return np.zeros(0, np.float32)
+            line, _, rest = self.header.partition(b"\n")
+            if line.strip():
+                meta = json.loads(line)
+                if meta.get("name"):
+                    self.name = str(meta["name"])
+            self.header_done = True
+            data, self.header = rest, b""
+        data = self.carry + data
+        n2 = len(data) // 2 * 2
+        data, self.carry = data[:n2], data[n2:]
+        if not data:
+            return np.zeros(0, np.float32)
+        chunk = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+        self.samples += len(chunk)
+        return chunk
+
+    def send_line(self, obj: dict) -> None:
+        if self.closed:
+            return
+        try:
+            self.sock.sendall((json.dumps(obj) + "\n").encode())
+        except OSError:
+            self.closed = True
+
+
+class SegmentationServer:
+    """Serve live segmentation over a listening socket.
+
+    ``engine`` + ``stream_kwargs`` configure the shared
+    MultiStreamSegmenter (segment_length, algorithm, thresholds...).
+    Call :meth:`serve_forever` (blocks; ``shutdown()`` from another
+    thread stops it) — or drive :meth:`step` yourself in tests.
+    """
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
+                 unix_path: str | None = None, max_batch: int = 8,
+                 backlog: int = 64, **stream_kwargs):
+        self.mux = MultiStreamSegmenter(engine, max_batch=max_batch,
+                                        **stream_kwargs)
+        if unix_path:
+            self._lsock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._lsock.bind(unix_path)
+            self.address = unix_path
+        else:
+            self._lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            self._lsock.bind((host, port))
+            self.address = self._lsock.getsockname()
+        self._lsock.listen(backlog)
+        self._lsock.setblocking(False)
+        self._sel = selectors.DefaultSelector()
+        self._sel.register(self._lsock, selectors.EVENT_READ, None)
+        self._conns: dict[int, _Conn] = {}
+        self._next_sid = 0
+        self._running = False
+        self._closed = False
+
+    # ------------------------------------------------------------------
+    def serve_forever(self, poll_s: float = 0.05) -> None:
+        self._running = True
+        try:
+            while self._running:
+                self.step(poll_s)
+        finally:
+            self.close()
+
+    def shutdown(self) -> None:
+        self._running = False
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        for conn in list(self._conns.values()):
+            self._drop(conn)
+        self._sel.close()
+        self._lsock.close()
+
+    # ------------------------------------------------------------------
+    def step(self, poll_s: float = 0.05) -> None:
+        """One event-loop pass: drain readable sockets, feed the mux with
+        everything that arrived, deliver commits, flush ended streams."""
+        chunks: dict[int, list[np.ndarray]] = {}
+        ended: list[_Conn] = []
+        for key, _ in self._sel.select(poll_s):
+            if key.data is None:
+                self._accept()
+                continue
+            conn: _Conn = key.data
+            try:
+                data = conn.sock.recv(_RECV)
+            except BlockingIOError:
+                continue
+            except OSError:
+                data = b""
+            if data:
+                try:
+                    chunk = conn.take_pcm(data)
+                except (ValueError, json.JSONDecodeError) as e:
+                    conn.send_line({"type": "error", "error": str(e)})
+                    self._drop(conn)
+                    continue
+                if len(chunk):
+                    chunks.setdefault(conn.sid, []).append(chunk)
+            else:  # EOF / FIN: stream is over
+                ended.append(conn)
+
+        if chunks:
+            committed = self.mux.feed({
+                sid: np.concatenate(parts) if len(parts) > 1 else parts[0]
+                for sid, parts in chunks.items()
+            })
+            for sid, segs in committed.items():
+                self._deliver(self._conns[sid], segs)
+
+        for conn in ended:
+            self._finish(conn)
+
+    # ------------------------------------------------------------------
+    def _accept(self) -> None:
+        try:
+            sock, _ = self._lsock.accept()
+        except OSError:
+            return
+        sock.setblocking(False)
+        conn = _Conn(sock, self._next_sid)
+        self._next_sid += 1
+        self.mux.add_stream(conn.sid)
+        self._conns[conn.sid] = conn
+        self._sel.register(sock, selectors.EVENT_READ, conn)
+
+    def _deliver(self, conn: _Conn, segs) -> None:
+        pos_s = conn.samples / INPUT_SAMPLE_RATE
+        for s in segs:
+            conn.n_segments += 1
+            conn.send_line({
+                "type": "segment",
+                "name": conn.name,
+                "offset": s.offset,
+                "duration": s.duration,
+                "stream_pos_s": round(pos_s, 3),
+                "lag_s": round(pos_s - (s.offset + s.duration), 3),
+            })
+
+    def _finish(self, conn: _Conn) -> None:
+        self._deliver(conn, self.mux.finish(conn.sid))
+        conn.send_line({
+            "type": "end",
+            "name": conn.name,
+            "n_segments": conn.n_segments,
+            "audio_secs": round(conn.samples / INPUT_SAMPLE_RATE, 3),
+        })
+        self._drop(conn)
+
+    def _drop(self, conn: _Conn) -> None:
+        if conn.sid in self._conns:
+            del self._conns[conn.sid]
+            try:
+                self._sel.unregister(conn.sock)
+            except (KeyError, ValueError):
+                pass
+            try:
+                conn.sock.close()
+            except OSError:
+                pass
+            conn.closed = True
+
+
+def segment_stream_client(address, pcm: bytes, name: str = "",
+                          chunk_bytes: int = 32000,
+                          pace_s: float = 0.0) -> list[dict]:
+    """Minimal reference client (also used by tests): stream ``pcm`` to a
+    running server, return every JSON line received (segments + end)."""
+    if isinstance(address, str):
+        sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    else:
+        sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        address = tuple(address)
+    sock.connect(address)
+    sock.sendall((json.dumps({"name": name} if name else {}) + "\n").encode())
+    buf = b""
+    lines: list[dict] = []
+
+    def drain(block: bool) -> bool:
+        nonlocal buf
+        sock.setblocking(block)
+        try:
+            while True:
+                data = sock.recv(_RECV)
+                if not data:
+                    return False
+                buf += data
+                if block:
+                    break
+        except BlockingIOError:
+            pass
+        finally:
+            sock.setblocking(True)
+        return True
+
+    for i in range(0, len(pcm), chunk_bytes):
+        sock.sendall(pcm[i: i + chunk_bytes])
+        if pace_s:
+            time.sleep(pace_s)
+        drain(block=False)
+    sock.shutdown(socket.SHUT_WR)
+    while drain(block=True):
+        pass
+    for line in buf.splitlines():
+        if line.strip():
+            lines.append(json.loads(line))
+    return lines
