@@ -192,3 +192,53 @@ def test_serve_cli_build_server(tmp_path):
             srv.close()
     finally:
         registry._ALIASES["lib.models.SHAS"] = orig
+
+
+def test_server_per_connection_algorithm_override(engine, server):
+    """A connection's header can pick its own algorithm/thresholds; the
+    encoder batches mixed-algorithm connections together and each matches
+    its own single-stream ground truth."""
+    from wav2vecsegmenter_tpu.infer.online import OnlineSegmenter
+    from wav2vecsegmenter_tpu.infer.server import segment_stream_client
+
+    wav = _wav(41, 17.3)
+    pthr_over = dict(algorithm="pthr", max_segment_length=2.5,
+                     threshold=0.5, moving_average_window=0.1)
+
+    truth = OnlineSegmenter(engine, segment_length=4.0, min_segment_length=0.2,
+                            min_pause_length=0.2, **pthr_over)
+    truth.feed(wav)
+    truth.finish()
+    want_pthr = [(s.offset, s.duration) for s in truth.segments]
+    want_strm = _ground_truth(engine, wav)
+    assert want_pthr != want_strm  # the override matters
+
+    results: dict = {}
+
+    def client(name, header):
+        results[name] = segment_stream_client(
+            server.address, _pcm(wav), name=name, header=header,
+            chunk_bytes=2 * 16000, pace_s=0.01)
+
+    threads = [
+        threading.Thread(target=client, args=("s", None)),
+        threading.Thread(target=client, args=("p", pthr_over)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+
+    for name, want in (("s", want_strm), ("p", want_pthr)):
+        segs = [(ln["offset"], ln["duration"]) for ln in results[name]
+                if ln["type"] == "segment"]
+        assert segs == want and len(segs) > 0, f"{name} diverged"
+
+
+def test_server_rejects_unknown_header_key(server):
+    from wav2vecsegmenter_tpu.infer.server import segment_stream_client
+
+    lines = segment_stream_client(
+        server.address, b"\x00\x00" * 100, header={"segment_length": 8})
+    assert lines and lines[0]["type"] == "error"
+    assert "segment_length" in lines[0]["error"]

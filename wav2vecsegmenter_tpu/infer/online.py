@@ -281,11 +281,19 @@ class MultiStreamSegmenter:
         self._streams: dict = {}
 
     # ------------------------------------------------------------------
-    def add_stream(self, sid) -> None:
+    def add_stream(self, sid, **overrides) -> None:
+        """Register a stream; ``overrides`` adjust the algorithm per stream
+        (the encoder is algorithm-independent, so mixed-algorithm streams
+        still batch together).  ``segment_length`` is the shared compiled
+        window shape and cannot differ per stream."""
         if sid in self._streams:
             raise ValueError(f"stream {sid!r} already exists")
-        self._streams[sid] = OnlineSegmenter(self.engine,
-                                             **self._stream_kwargs)
+        if "segment_length" in overrides:
+            raise ValueError(
+                "segment_length is shared by all streams of a "
+                "MultiStreamSegmenter (one compiled window shape)")
+        self._streams[sid] = OnlineSegmenter(
+            self.engine, **{**self._stream_kwargs, **overrides})
 
     def stream(self, sid) -> OnlineSegmenter:
         return self._streams[sid]

@@ -40,6 +40,15 @@ from .online import MultiStreamSegmenter
 
 _RECV = 1 << 16
 
+# header keys a client may set; everything else is rejected loudly.  The
+# algorithm keys are per-connection because the encoder forward is
+# algorithm-independent — mixed-algorithm connections still batch together.
+_HEADER_ALGO_KEYS = frozenset({
+    "algorithm", "max_segment_length", "min_segment_length",
+    "min_pause_length", "threshold", "max_lerp_range", "min_lerp_range",
+    "moving_average_window",
+})
+
 
 class _Conn:
     """Per-connection state: header parsing, torn-sample carry, name."""
@@ -50,6 +59,8 @@ class _Conn:
         self.name = f"conn{sid}"
         self.header = b""
         self.header_done = False
+        self.overrides: dict = {}
+        self.registered = False
         self.carry = b""
         self.samples = 0
         self.n_segments = 0
@@ -66,8 +77,16 @@ class _Conn:
             line, _, rest = self.header.partition(b"\n")
             if line.strip():
                 meta = json.loads(line)
+                if not isinstance(meta, dict):
+                    raise ValueError("header must be a JSON object")
                 if meta.get("name"):
-                    self.name = str(meta["name"])
+                    self.name = str(meta.pop("name"))
+                else:
+                    meta.pop("name", None)
+                unknown = set(meta) - _HEADER_ALGO_KEYS
+                if unknown:
+                    raise ValueError(f"unknown header keys: {sorted(unknown)}")
+                self.overrides = meta
             self.header_done = True
             data, self.header = rest, b""
         data = self.carry + data
@@ -161,7 +180,13 @@ class SegmentationServer:
             if data:
                 try:
                     chunk = conn.take_pcm(data)
-                except (ValueError, json.JSONDecodeError) as e:
+                    if conn.header_done and not conn.registered:
+                        # register at header time so per-connection
+                        # algorithm overrides reach the stream
+                        self.mux.add_stream(conn.sid, **conn.overrides)
+                        conn.registered = True
+                except (ValueError, TypeError, NotImplementedError,
+                        json.JSONDecodeError) as e:
                     conn.send_line({"type": "error", "error": str(e)})
                     self._drop(conn)
                     continue
@@ -190,7 +215,6 @@ class SegmentationServer:
         sock.setblocking(False)
         conn = _Conn(sock, self._next_sid)
         self._next_sid += 1
-        self.mux.add_stream(conn.sid)
         self._conns[conn.sid] = conn
         self._sel.register(sock, selectors.EVENT_READ, conn)
 
@@ -208,6 +232,11 @@ class SegmentationServer:
             })
 
     def _finish(self, conn: _Conn) -> None:
+        if not conn.registered:  # FIN before a complete header
+            conn.send_line({"type": "end", "name": conn.name,
+                            "n_segments": 0, "audio_secs": 0.0})
+            self._drop(conn)
+            return
         self._deliver(conn, self.mux.finish(conn.sid))
         conn.send_line({
             "type": "end",
@@ -233,16 +262,21 @@ class SegmentationServer:
 
 def segment_stream_client(address, pcm: bytes, name: str = "",
                           chunk_bytes: int = 32000,
-                          pace_s: float = 0.0) -> list[dict]:
+                          pace_s: float = 0.0,
+                          header: dict | None = None) -> list[dict]:
     """Minimal reference client (also used by tests): stream ``pcm`` to a
-    running server, return every JSON line received (segments + end)."""
+    running server, return every JSON line received (segments + end).
+    ``header`` adds per-connection fields (e.g. algorithm overrides)."""
     if isinstance(address, str):
         sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     else:
         sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         address = tuple(address)
     sock.connect(address)
-    sock.sendall((json.dumps({"name": name} if name else {}) + "\n").encode())
+    meta = dict(header or {})
+    if name:
+        meta["name"] = name
+    sock.sendall((json.dumps(meta) + "\n").encode())
     buf = b""
     lines: list[dict] = []
 
