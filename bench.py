@@ -196,7 +196,8 @@ def bench_online() -> None:
     if on_tpu:
         params = jax.device_put(params, jax.devices()[0])
     engine = WindowInference(model, params, loss_tag="bce",
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype,
+                             quantize=os.environ.get("BENCH_QUANT") or None)
 
     algo = dict(algorithm="pthr", max_segment_length=10,
                 min_segment_length=0.2, threshold=0.3,
@@ -366,8 +367,11 @@ def main() -> None:
         weights_src = "random"
     if on_tpu:
         params = jax.device_put(params, jax.devices()[0])
+    # BENCH_QUANT=int8: the opt-in w8a8 serving path (ops/quant.py) for
+    # A/B against the bf16 default; output deviation documented in PARITY.md
+    quantize = os.environ.get("BENCH_QUANT") or None
     engine = WindowInference(model, params, loss_tag="bce",
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype, quantize=quantize)
 
     pack = bool(int(os.environ.get("BENCH_PACK", "0")))
     sweep_cfg = Config({
@@ -444,7 +448,7 @@ def main() -> None:
           f"walls={['%.2f' % w for w in walls]} "
           f"segments={len(yaml_content)} backend={jax.default_backend()} "
           f"layers={keep_layers} batch={batch_size} pack={pack} "
-          f"weights={weights_src}",
+          f"weights={weights_src} quantize={quantize or 'none'}",
           file=sys.stderr)
 
 

@@ -1,0 +1,158 @@
+"""Int8 (w8a8) quantized serving path (ops/quant.py, opt-in
+runtime.quantize=int8).
+
+The scheme is weight-per-output-channel + activation-per-row dynamic
+symmetric quantization; these tests bound the numerical deviation of each
+piece and of the end-to-end engine against the float path.  The perf claim
+(int8 MXU rate on v5e) is measured on hardware separately (PERF.md).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from .helpers import tiny_shas
+
+
+def test_quantize_linear_round_trip():
+    from wav2vecsegmenter_tpu.ops.quant import dequantize_linear, quantize_linear
+
+    rng = np.random.RandomState(0)
+    # per-channel scales: give columns wildly different magnitudes
+    w = rng.randn(64, 32).astype(np.float32) * (10.0 ** rng.uniform(-3, 1, 32))
+    lin = {"w": jnp.asarray(w), "b": jnp.zeros(32)}
+    q = quantize_linear(lin)
+    assert q["qw"].dtype == jnp.int8
+    assert q["qs"].shape == (32,) and q["qs"].dtype == jnp.float32
+    back = np.asarray(dequantize_linear(q)["w"])
+    # max error per channel <= scale/2 = max|col| / 254
+    col_max = np.abs(w).max(axis=0)
+    assert (np.abs(back - w) <= col_max / 254 + 1e-9).all()
+
+
+def test_quantize_linear_stacked_axis():
+    """Stacked [L, d_in, d_out] weights quantize per (layer, column)."""
+    from wav2vecsegmenter_tpu.ops.quant import dequantize_linear, quantize_linear
+
+    rng = np.random.RandomState(1)
+    w = rng.randn(3, 16, 8).astype(np.float32)
+    w[1] *= 100.0  # one layer much larger: scales must not couple layers
+    q = quantize_linear({"w": jnp.asarray(w), "b": jnp.zeros((3, 8))})
+    assert q["qw"].shape == (3, 16, 8) and q["qs"].shape == (3, 8)
+    back = np.asarray(dequantize_linear(q)["w"])
+    col_max = np.abs(w).max(axis=1, keepdims=True)
+    assert (np.abs(back - w) <= col_max / 254 + 1e-9).all()
+
+
+def test_int8_matmul_close_to_float():
+    from wav2vecsegmenter_tpu.ops.quant import int8_matmul, quantize_linear
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(4, 37, 64).astype(np.float32)
+    w = rng.randn(64, 48).astype(np.float32) / 8.0
+    q = quantize_linear({"w": jnp.asarray(w), "b": np.zeros(48)})
+    got = np.asarray(int8_matmul(jnp.asarray(x), q["qw"], q["qs"]))
+    want = x @ w
+    # int8 grid: ~1e-2 relative error at d_in=64 (errors add in quadrature;
+    # the coefficient is empirical headroom over the sqrt(d_in) estimate)
+    scale = np.abs(x).max(axis=-1, keepdims=True) * np.abs(w).max(axis=0)
+    assert np.abs(got - want).max() <= 0.05 * scale.max()
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.9999
+
+
+def test_int8_matmul_zero_rows_stay_zero():
+    from wav2vecsegmenter_tpu.ops.quant import int8_matmul, quantize_linear
+
+    w = np.random.RandomState(3).randn(32, 16).astype(np.float32)
+    q = quantize_linear({"w": jnp.asarray(w), "b": np.zeros(16)})
+    x = np.zeros((2, 5, 32), np.float32)
+    out = np.asarray(int8_matmul(jnp.asarray(x), q["qw"], q["qs"]))
+    np.testing.assert_array_equal(out, 0.0)
+
+
+def test_quantize_params_scope():
+    """Only the wav2vec transformer GEMMs quantize; conv stack, pos conv,
+    LNs, and the SFC head stay float."""
+    from wav2vecsegmenter_tpu.ops.quant import is_quantized, quantize_params
+
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    qp = quantize_params(params)
+    assert is_quantized(qp) and not is_quantized(params)
+    for n in ("q", "k", "v", "o"):
+        assert qp["wav2vec"]["layers"]["attn"][n]["qw"].dtype == jnp.int8
+    for n in ("w1", "w2"):
+        assert qp["wav2vec"]["layers"]["ffn"][n]["qw"].dtype == jnp.int8
+    # untouched subtrees are the same objects
+    assert qp["seg"] is params["seg"]
+    assert (qp["wav2vec"]["feature_extractor"]
+            is params["wav2vec"]["feature_extractor"])
+    assert "w" in qp["wav2vec"]["feature_projection"]["proj"]
+    # the original tree is not mutated
+    assert "w" in params["wav2vec"]["layers"]["attn"]["q"]
+
+
+def _probs(engine, examples, batch_size=4):
+    from wav2vecsegmenter_tpu.data.collate import collate
+    from wav2vecsegmenter_tpu.infer.pipeline import infer_talk
+
+    batch = collate(examples, batch_size, 16000, 50)
+    probs, _, _ = infer_talk(engine, [batch], 50 * len(examples))
+    return probs
+
+
+def test_engine_int8_close_to_float():
+    """End-to-end WindowInference with quantize='int8' tracks the float
+    engine's frame probabilities."""
+    from wav2vecsegmenter_tpu.infer.pipeline import WindowInference
+    from wav2vecsegmenter_tpu.ops.quant import is_quantized
+
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(4)
+    examples = [(rng.randn(16000).astype(np.float32) * 0.1, None,
+                 i * 50, (i + 1) * 50) for i in range(3)]
+
+    pf = _probs(WindowInference(model, params), examples)
+    engine_q = WindowInference(model, params, quantize="int8")
+    assert is_quantized(engine_q.params)
+    pq = _probs(engine_q, examples)
+
+    assert not np.isnan(pq).any()
+    # random-init logits sit near 0, where sigmoid is steepest — the prob
+    # deviation bound here is looser than trained-weight behavior
+    assert np.abs(pq - pf).max() < 0.05
+    assert np.corrcoef(pq, pf)[0, 1] > 0.99
+
+
+def test_engine_int8_rejects_tensor_parallel_and_unknown_mode():
+    from wav2vecsegmenter_tpu.infer.pipeline import WindowInference
+
+    from wav2vecsegmenter_tpu.parallel.mesh import make_mesh
+
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="tensor"):
+        WindowInference(model, params, mesh=make_mesh(2, 2), quantize="int8")
+    with pytest.raises(ValueError, match="unknown quantize"):
+        WindowInference(model, params, quantize="fp8")
+
+
+def test_engine_int8_on_data_parallel_mesh():
+    """int8 params replicate over a data-parallel mesh like any others."""
+    from wav2vecsegmenter_tpu.infer.pipeline import WindowInference
+
+    from wav2vecsegmenter_tpu.parallel.mesh import make_mesh
+
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(5)
+    examples = [(rng.randn(16000).astype(np.float32) * 0.1, None,
+                 i * 50, (i + 1) * 50) for i in range(3)]
+    p1 = _probs(WindowInference(model, params, quantize="int8"), examples)
+    p8 = _probs(WindowInference(model, params, quantize="int8",
+                                mesh=make_mesh(4)), examples)
+    np.testing.assert_allclose(p1, p8, atol=1e-5)

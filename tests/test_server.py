@@ -143,6 +143,29 @@ def test_server_unix_socket(engine, tmp_path):
         t.join(timeout=10)
 
 
+def test_server_unix_socket_stale_and_in_use(engine, tmp_path):
+    """A dead server's socket file is replaced; a live one is refused; the
+    file is unlinked on close."""
+    import os
+
+    from wav2vecsegmenter_tpu.infer.server import SegmentationServer
+
+    path = str(tmp_path / "seg.sock")
+    # stale file: bind, close WITHOUT the unlink (simulate a crash)
+    stale = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    stale.bind(path)
+    stale.close()
+    assert os.path.exists(path)
+
+    srv = SegmentationServer(engine, unix_path=path, max_batch=4, **ALGO)
+    try:
+        with pytest.raises(OSError, match="listening"):
+            SegmentationServer(engine, unix_path=path, max_batch=4, **ALGO)
+    finally:
+        srv.close()
+    assert not os.path.exists(path)
+
+
 def test_serve_cli_build_server(tmp_path):
     """build_server composes the daemon from the hydra surface (tiny model
     via the registry patch used by the other CLI tests)."""

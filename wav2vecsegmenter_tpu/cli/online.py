@@ -72,6 +72,7 @@ def _run_job(overrides: list[str], multirun: bool) -> list[dict]:
     engine = WindowInference(
         model, params, loss_tag=config.task.loss.tag,
         compute_dtype=compute_dtype, vocab=vocab,
+        quantize=(config.get("runtime") or {}).get("quantize"),
     )
 
     algo_conf = to_plain(config.algorithm)

@@ -41,6 +41,7 @@ def build_server(config) -> SegmentationServer:
     engine = WindowInference(
         model, params, loss_tag=config.task.loss.tag,
         compute_dtype=compute_dtype, vocab=vocab,
+        quantize=(config.get("runtime") or {}).get("quantize"),
     )
 
     algo_conf = to_plain(config.algorithm)

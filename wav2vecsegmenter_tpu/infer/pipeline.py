@@ -33,7 +33,8 @@ class WindowInference:
 
     def __init__(self, model, params, loss_tag: str = "bce",
                  compute_dtype=jnp.float32, vocab=None,
-                 donate: bool = False, mesh=None, loss_fn=None):
+                 donate: bool = False, mesh=None, loss_fn=None,
+                 quantize: str | None = None):
         self.model = model
         self.params = params
         self.loss_tag = loss_tag
@@ -43,6 +44,19 @@ class WindowInference:
         self.loss_fn = loss_fn  # optional: per-batch eval loss (bce only)
         self._jitted: dict = {}
         self._param_sh = None
+        if quantize:
+            if quantize != "int8":
+                raise ValueError(f"unknown quantize mode '{quantize}' "
+                                 "(supported: int8)")
+            if mesh is not None and mesh.shape.get("model", 1) > 1:
+                raise ValueError(
+                    "runtime.quantize=int8 does not compose with tensor "
+                    "parallelism (per-channel scales are not partitioned)")
+            from ..ops.quant import quantize_params
+
+            # one-time weight quantization; activations quantize dynamically
+            # inside the jitted forward (ops/quant.py)
+            self.params = quantize_params(params)
         if mesh is not None and mesh.shape.get("model", 1) > 1:
             import jax
 

@@ -29,6 +29,7 @@ OnlineSegmenter's (offline-equivalent, tests/test_online.py).
 from __future__ import annotations
 
 import json
+import os
 import selectors
 import socket
 import time
@@ -121,9 +122,25 @@ class SegmentationServer:
                  backlog: int = 64, **stream_kwargs):
         self.mux = MultiStreamSegmenter(engine, max_batch=max_batch,
                                         **stream_kwargs)
+        self._unix_path = unix_path
         if unix_path:
             self._lsock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-            self._lsock.bind(unix_path)
+            try:
+                self._lsock.bind(unix_path)
+            except OSError:
+                # a previous server's stale socket file: if nothing is
+                # listening there, replace it; if something is, re-raise
+                probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                try:
+                    probe.connect(unix_path)
+                except OSError:
+                    os.unlink(unix_path)
+                    self._lsock.bind(unix_path)
+                else:
+                    raise OSError(
+                        f"another server is listening on {unix_path}")
+                finally:
+                    probe.close()
             self.address = unix_path
         else:
             self._lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -159,6 +176,11 @@ class SegmentationServer:
             self._drop(conn)
         self._sel.close()
         self._lsock.close()
+        if self._unix_path:
+            try:
+                os.unlink(self._unix_path)
+            except OSError:
+                pass
 
     # ------------------------------------------------------------------
     def step(self, poll_s: float = 0.05) -> None:

@@ -519,6 +519,18 @@ def positional_conv(params: dict, x: jax.Array, cfg: Wav2Vec2Config,
     return _gelu(y)
 
 
+def _lin(lin: dict, x: jax.Array, compute_dtype) -> jax.Array:
+    """x @ W + b, routed through the int8 MXU path when ``lin`` holds
+    quantized weights (ops/quant.quantize_params)."""
+    if "qw" in lin:
+        from ..ops.quant import int8_matmul
+
+        y = int8_matmul(x, lin["qw"], lin["qs"]).astype(compute_dtype)
+    else:
+        y = x @ lin["w"].astype(compute_dtype)
+    return y + lin["b"].astype(compute_dtype)
+
+
 def _mha(layer_attn: dict, x: jax.Array, key_mask: jax.Array | None,
          num_heads: int, deterministic: bool, rng, attn_dropout: float,
          compute_dtype, apply_prob_dropout: bool = False) -> jax.Array:
@@ -530,13 +542,25 @@ def _mha(layer_attn: dict, x: jax.Array, key_mask: jax.Array | None,
     # [h, h] matmuls on v5e (wider N amortizes the MXU pipeline; measured
     # 39 vs 65+ TF/s), and the runtime concat of the per-head weights is a
     # 6 MB copy — noise next to the 33 GFLOP GEMM
-    wqkv = jnp.concatenate(
-        [layer_attn[n]["w"] for n in ("q", "k", "v")], axis=1
-    ).astype(compute_dtype)
     bqkv = jnp.concatenate(
         [layer_attn[n]["b"] for n in ("q", "k", "v")]
     ).astype(compute_dtype)
-    qkv = (xc @ wqkv + bqkv).reshape(b, t, 3, num_heads, d)
+    if "qw" in layer_attn["q"]:
+        # int8 serving path: the fused [h, 3h] GEMM runs int8 on the MXU;
+        # per-column scales concatenate alongside the weights
+        from ..ops.quant import int8_matmul
+
+        wqkv_q = jnp.concatenate(
+            [layer_attn[n]["qw"] for n in ("q", "k", "v")], axis=1)
+        sqkv = jnp.concatenate(
+            [layer_attn[n]["qs"] for n in ("q", "k", "v")])
+        proj = int8_matmul(xc, wqkv_q, sqkv).astype(compute_dtype) + bqkv
+    else:
+        wqkv = jnp.concatenate(
+            [layer_attn[n]["w"] for n in ("q", "k", "v")], axis=1
+        ).astype(compute_dtype)
+        proj = xc @ wqkv + bqkv
+    qkv = proj.reshape(b, t, 3, num_heads, d)
     # one packed relayout to [3, B, H, T, D]; the per-tensor slices below are
     # then layout-preserving bitcasts instead of three separate copies
     qkv = qkv.transpose(2, 0, 3, 1, 4)
@@ -560,8 +584,7 @@ def _mha(layer_attn: dict, x: jax.Array, key_mask: jax.Array | None,
         # (attention-prob dropout omitted under the fused kernel — PARITY.md)
         out = attention(q, k, v, key_mask, scale=d ** -0.5)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, h)
-    o = layer_attn["o"]
-    return out @ o["w"].astype(compute_dtype) + o["b"].astype(compute_dtype)
+    return _lin(layer_attn["o"], out, compute_dtype)
 
 
 def encoder(params: dict, x: jax.Array, frame_mask: jax.Array,
@@ -606,15 +629,13 @@ def encoder(params: dict, x: jax.Array, frame_mask: jax.Array,
             a = _dropout(a, cfg.hidden_dropout, deterministic, rngs[1])
             h = h + a
             hn = layer_norm(h, layer["ln2"]["scale"], layer["ln2"]["bias"], eps)
-            f = hn @ layer["ffn"]["w1"]["w"].astype(compute_dtype) + \
-                layer["ffn"]["w1"]["b"].astype(compute_dtype)
+            f = _lin(layer["ffn"]["w1"], hn, compute_dtype)
             f = _gelu(f)
             # materialize the GELU output: as a w2-GEMM operand fusion it
             # drags that GEMM from ~190 to ~81 TF/s on v5e (profiled)
             f = jax.lax.optimization_barrier(f)
             f = _dropout(f, cfg.activation_dropout, deterministic, rngs[2])
-            f = f @ layer["ffn"]["w2"]["w"].astype(compute_dtype) + \
-                layer["ffn"]["w2"]["b"].astype(compute_dtype)
+            f = _lin(layer["ffn"]["w2"], f, compute_dtype)
             f = _dropout(f, cfg.hidden_dropout, deterministic, rngs[3])
             if "adapter" in layer:
                 ad = layer["adapter"]
@@ -635,15 +656,13 @@ def encoder(params: dict, x: jax.Array, frame_mask: jax.Array,
             a = _dropout(a, cfg.hidden_dropout, deterministic, rngs[1])
             h = layer_norm(h + a, layer["ln1"]["scale"], layer["ln1"]["bias"],
                            eps)
-            f = h @ layer["ffn"]["w1"]["w"].astype(compute_dtype) + \
-                layer["ffn"]["w1"]["b"].astype(compute_dtype)
+            f = _lin(layer["ffn"]["w1"], h, compute_dtype)
             f = _gelu(f)
             # materialize the GELU output: as a w2-GEMM operand fusion it
             # drags that GEMM from ~190 to ~81 TF/s on v5e (profiled)
             f = jax.lax.optimization_barrier(f)
             f = _dropout(f, cfg.activation_dropout, deterministic, rngs[2])
-            f = f @ layer["ffn"]["w2"]["w"].astype(compute_dtype) + \
-                layer["ffn"]["w2"]["b"].astype(compute_dtype)
+            f = _lin(layer["ffn"]["w2"], f, compute_dtype)
             f = _dropout(f, cfg.hidden_dropout, deterministic, rngs[3])
             h = layer_norm(h + f, layer["ln2"]["scale"], layer["ln2"]["bias"],
                            eps)
@@ -653,10 +672,20 @@ def encoder(params: dict, x: jax.Array, frame_mask: jax.Array,
     # cast the stacked layer params ONCE, outside the scan: otherwise XLA
     # emits per-layer f32->bf16 converts as operand fusions on the GEMMs
     # (measured: the dynamic-slice+convert prologue cut the FFN w2 GEMM from
-    # ~190 to ~81 TF/s on v5e); a single hoisted convert is one clean pass
-    layers = jax.tree.map(
-        lambda a: a.astype(compute_dtype)
-        if jnp.issubdtype(a.dtype, jnp.floating) else a, layers)
+    # ~190 to ~81 TF/s on v5e); a single hoisted convert is one clean pass.
+    # int8 weights (non-floating) and their per-channel scales ("qs") are
+    # exempt — scales must stay f32 (a bf16 scale adds ~0.2% per-channel
+    # gain error on top of the int8 grid).
+    from jax.tree_util import DictKey, tree_map_with_path
+
+    def _cast(path, a):
+        if not jnp.issubdtype(a.dtype, jnp.floating):
+            return a
+        if path and isinstance(path[-1], DictKey) and path[-1].key == "qs":
+            return a
+        return a.astype(compute_dtype)
+
+    layers = tree_map_with_path(_cast, layers)
     n_total = jax.tree.leaves(layers)[0].shape[0]
     n_frozen = max(0, min(n_frozen_layers, n_total))
 
