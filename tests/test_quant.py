@@ -141,6 +141,45 @@ def test_engine_int8_rejects_tensor_parallel_and_unknown_mode():
         WindowInference(model, params, quantize="fp8")
 
 
+@pytest.mark.slow
+def test_int8_error_does_not_compound_at_full_geometry():
+    """The real risk of w8a8 is error compounding over depth: 24 residual
+    layers at h=1024, not the 2-layer toy.  Random-init full-geometry SHAS,
+    999-frame window, f32 vs int8 frame probabilities."""
+    from wav2vecsegmenter_tpu.models.shas import SHAS
+
+    model = SHAS(
+        wav2vec_model_name="facebook/wav2vec2-xls-r-300m",
+        wav2vec_keep_layers=24,
+        n_transformer_enc_layers=1,
+        n_transformer_enc_heads=8,
+        init_dropout=0.0,
+    )
+    assert model.w2v_cfg.hidden_size == 1024
+    params = model.init(jax.random.PRNGKey(0))
+
+    from wav2vecsegmenter_tpu.infer.pipeline import WindowInference
+    from wav2vecsegmenter_tpu.data.collate import collate
+    from wav2vecsegmenter_tpu.infer.pipeline import infer_talk
+
+    rng = np.random.RandomState(7)
+    wav = rng.randn(320_000).astype(np.float32) * 0.1
+    examples = [(wav, None, 0, 999)]
+    batch = collate(examples, 1, 320_000, 999)
+
+    pf, _, _ = infer_talk(WindowInference(model, params), [batch], 999)
+    pq, _, _ = infer_talk(WindowInference(model, params, quantize="int8"),
+                          [batch], 999)
+
+    err = np.abs(pq - pf)
+    corr = np.corrcoef(pq, pf)[0, 1]
+    print(f"full-geom int8: max|dprob|={err.max():.4f} "
+          f"mean={err.mean():.5f} corr={corr:.6f}")
+    assert not np.isnan(pq).any()
+    assert corr > 0.99
+    assert err.max() < 0.15  # random-init sits at sigmoid's steepest point
+
+
 def test_engine_int8_on_data_parallel_mesh():
     """int8 params replicate over a data-parallel mesh like any others."""
     from wav2vecsegmenter_tpu.infer.pipeline import WindowInference
