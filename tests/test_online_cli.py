@@ -125,6 +125,20 @@ def test_online_cli_end_to_end(workspace, capsys, algo_overrides):
     assert first_a["stream_pos_s"] < 21.7
 
 
+def test_online_cli_int8_quantized(workspace, capsys):
+    """runtime.quantize=int8 reaches the engine through the online CLI's
+    config plumbing and serves end to end (deviation bounds:
+    tests/test_quant.py)."""
+    yaml_content, out_dir = _run_online(
+        workspace, "out_int8",
+        ["algorithm=strm", "algorithm.max_segment_length=3",
+         "runtime.quantize=int8"],
+    )
+    saved = yaml.safe_load(open(out_dir / "custom_segments.yaml"))
+    assert len(saved) > 0
+    assert all(r["duration"] > 0 for r in saved)
+
+
 def test_online_cli_rejects_dac(workspace):
     with pytest.raises(NotImplementedError):
         _run_online(workspace, "out_dac", ["algorithm=dac"])
