@@ -143,6 +143,49 @@ def test_server_unix_socket(engine, tmp_path):
         t.join(timeout=10)
 
 
+def test_server_shutdown_drains_active_streams(engine):
+    """A shutting-down server flushes each open connection's tail window
+    and sends its end line instead of dropping the socket mid-stream."""
+    import time
+
+    from wav2vecsegmenter_tpu.infer.online import OnlineSegmenter
+    from wav2vecsegmenter_tpu.infer.server import SegmentationServer
+
+    srv = SegmentationServer(engine, port=0, max_batch=4, **ALGO)
+    t = threading.Thread(target=srv.serve_forever, kwargs={"poll_s": 0.01},
+                         daemon=True)
+    t.start()
+
+    wav = _wav(48, 9.7)  # no FIN: the stream is live when shutdown arrives
+    want_open = OnlineSegmenter(engine, **ALGO)
+    want_open.feed(wav)
+    want_open.finish()
+    want = [(s.offset, s.duration) for s in want_open.segments]
+
+    sock = socket.create_connection(tuple(srv.address))
+    sock.sendall(b'{"name": "live"}\n' + _pcm(wav))
+    time.sleep(1.0)  # let the event loop ingest + run the filled windows
+
+    srv.shutdown()
+    t.join(timeout=30)
+    assert not t.is_alive()
+
+    buf = b""
+    while True:
+        data = sock.recv(65536)
+        if not data:
+            break
+        buf += data
+    sock.close()
+    lines = [json.loads(ln) for ln in buf.splitlines() if ln.strip()]
+    assert lines and lines[-1]["type"] == "end"
+    assert lines[-1]["audio_secs"] == pytest.approx(len(wav) / 16000,
+                                                    abs=1e-3)
+    got = [(ln["offset"], ln["duration"]) for ln in lines
+           if ln["type"] == "segment"]
+    assert got == want and len(got) > 0
+
+
 def test_server_unix_socket_stale_and_in_use(engine, tmp_path):
     """A dead server's socket file is replaced; a live one is refused; the
     file is unlinked on close."""

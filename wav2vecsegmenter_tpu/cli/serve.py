@@ -78,10 +78,25 @@ def main(argv: list[str] | None = None):
     print(json.dumps({"type": "listening", "address": server.address}),
           flush=True)
     logger.info("serving on %s", server.address)
+
+    # graceful shutdown: SIGTERM/SIGINT stop the loop; serve_forever then
+    # drains every active stream (tail flush + end line) before closing
+    import signal
+
+    def _stop(signum, frame):
+        logger.info("signal %d: draining active streams", signum)
+        server.shutdown()
+
+    try:
+        signal.signal(signal.SIGTERM, _stop)
+        signal.signal(signal.SIGINT, _stop)
+    except ValueError:
+        pass  # not the main thread (embedded use): rely on shutdown()
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         logger.info("shutting down")
+        server.drain()
         server.close()
 
 

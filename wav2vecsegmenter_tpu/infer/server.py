@@ -163,10 +163,19 @@ class SegmentationServer:
             while self._running:
                 self.step(poll_s)
         finally:
+            self.drain()
             self.close()
 
     def shutdown(self) -> None:
         self._running = False
+
+    def drain(self) -> None:
+        """Gracefully flush every active connection: run its final partial
+        window, deliver the tail segments and the end line, then close —
+        clients of a shutting-down server get complete streams instead of a
+        dropped socket mid-stream."""
+        for conn in list(self._conns.values()):
+            self._finish(conn)
 
     def close(self) -> None:
         if self._closed:
