@@ -143,6 +143,35 @@ def test_server_unix_socket(engine, tmp_path):
         t.join(timeout=10)
 
 
+def test_server_stats_line(engine, caplog):
+    """stats_every_s emits the periodic ops line with totals."""
+    import logging
+
+    from wav2vecsegmenter_tpu.infer.server import (
+        SegmentationServer,
+        segment_stream_client,
+    )
+
+    srv = SegmentationServer(engine, port=0, max_batch=4,
+                             stats_every_s=0.05, **ALGO)
+    t = threading.Thread(target=srv.serve_forever, kwargs={"poll_s": 0.01},
+                         daemon=True)
+    t.start()
+    try:
+        with caplog.at_level(logging.INFO, logger="wav2vecsegmenter_tpu"):
+            wav = _wav(49, 8.3)
+            lines = segment_stream_client(srv.address, _pcm(wav), name="s")
+            assert lines[-1]["type"] == "end"
+            stats = [r for r in caplog.records
+                     if "serve stats" in r.getMessage()]
+            assert stats, "no stats line emitted"
+        assert srv.total_conns >= 1
+        assert srv.total_samples >= len(wav)
+    finally:
+        srv.shutdown()
+        t.join(timeout=10)
+
+
 def test_server_shutdown_drains_active_streams(engine):
     """A shutting-down server flushes each open connection's tail window
     and sends its end line instead of dropping the socket mid-stream."""

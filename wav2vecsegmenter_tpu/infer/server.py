@@ -29,6 +29,7 @@ OnlineSegmenter's (offline-equivalent, tests/test_online.py).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import selectors
 import socket
@@ -38,6 +39,8 @@ import numpy as np
 
 from ..constants import INPUT_SAMPLE_RATE
 from .online import MultiStreamSegmenter
+
+logger = logging.getLogger("wav2vecsegmenter_tpu")
 
 _RECV = 1 << 16
 
@@ -119,9 +122,18 @@ class SegmentationServer:
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
                  unix_path: str | None = None, max_batch: int = 8,
-                 backlog: int = 64, **stream_kwargs):
+                 backlog: int = 64, stats_every_s: float = 0.0,
+                 **stream_kwargs):
         self.mux = MultiStreamSegmenter(engine, max_batch=max_batch,
                                         **stream_kwargs)
+        # periodic ops line: active conns, interval audio ingested vs wall
+        # (aggregate serving xRT), totals.  0 disables.
+        self.stats_every_s = float(stats_every_s or 0.0)
+        self._stats_t0 = time.monotonic()
+        self._stats_samples = 0
+        self.total_samples = 0
+        self.total_segments = 0
+        self.total_conns = 0
         self._unix_path = unix_path
         if unix_path:
             self._lsock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
@@ -222,6 +234,8 @@ class SegmentationServer:
                     self._drop(conn)
                     continue
                 if len(chunk):
+                    self._stats_samples += len(chunk)
+                    self.total_samples += len(chunk)
                     chunks.setdefault(conn.sid, []).append(chunk)
             else:  # EOF / FIN: stream is over
                 ended.append(conn)
@@ -237,6 +251,22 @@ class SegmentationServer:
         for conn in ended:
             self._finish(conn)
 
+        if self.stats_every_s:
+            wall = time.monotonic() - self._stats_t0
+            if wall >= self.stats_every_s:
+                audio_s = self._stats_samples / INPUT_SAMPLE_RATE
+                logger.info(
+                    "serve stats: %d active, %.1fs audio in %.1fs "
+                    "(%.0fx RT aggregate); totals: %d conns, %.1fs audio, "
+                    "%d segments",
+                    len(self._conns), audio_s, wall,
+                    audio_s / wall if wall > 0 else 0.0,
+                    self.total_conns,
+                    self.total_samples / INPUT_SAMPLE_RATE,
+                    self.total_segments)
+                self._stats_t0 = time.monotonic()
+                self._stats_samples = 0
+
     # ------------------------------------------------------------------
     def _accept(self) -> None:
         try:
@@ -246,6 +276,7 @@ class SegmentationServer:
         sock.setblocking(False)
         conn = _Conn(sock, self._next_sid)
         self._next_sid += 1
+        self.total_conns += 1
         self._conns[conn.sid] = conn
         self._sel.register(sock, selectors.EVENT_READ, conn)
 
@@ -253,6 +284,7 @@ class SegmentationServer:
         pos_s = conn.samples / INPUT_SAMPLE_RATE
         for s in segs:
             conn.n_segments += 1
+            self.total_segments += 1
             conn.send_line({
                 "type": "segment",
                 "name": conn.name,
