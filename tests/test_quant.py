@@ -141,6 +141,32 @@ def test_engine_int8_rejects_tensor_parallel_and_unknown_mode():
         WindowInference(model, params, quantize="fp8")
 
 
+def test_autoreg_greedy_decode_with_quantized_backbone():
+    """quantize_params covers the AutoReg variant's wav2vec subtree; the
+    KV-cached greedy decode runs through the int8 encoder and tracks the
+    float decode's probabilities."""
+    from tests.test_autoreg import tiny_autoreg
+
+    from wav2vecsegmenter_tpu.ops.quant import quantize_params
+
+    model = tiny_autoreg()
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(6)
+    b, L, t_out = 2, 16000, 30
+    audio = jnp.asarray(rng.randn(b, L).astype(np.float32))
+    in_lengths = jnp.asarray(np.array([L, L - 4000], np.int32))
+
+    pf, _, _ = model.greedy_decode(params, audio, in_lengths, t_out)
+    pq, _, _ = model.greedy_decode(quantize_params(params), audio,
+                                   in_lengths, t_out)
+    pf, pq = np.asarray(pf), np.asarray(pq)
+    assert not np.isnan(pq).any()
+    assert ((pq >= 0) & (pq <= 1)).all()
+    # greedy decode feeds back its own argmax: a flipped early token can
+    # shift later probabilities, so bound loosely and require agreement
+    assert np.abs(pq - pf).mean() < 0.05
+
+
 @pytest.mark.slow
 def test_int8_error_does_not_compound_at_full_geometry():
     """The real risk of w8a8 is error compounding over depth: 24 residual
