@@ -143,6 +143,57 @@ def test_server_unix_socket(engine, tmp_path):
         t.join(timeout=10)
 
 
+def test_server_max_conns_cap(engine):
+    """Above max_conns new clients get an error line + close; existing
+    connections keep serving."""
+    import time
+
+    from wav2vecsegmenter_tpu.infer.server import (
+        SegmentationServer,
+        segment_stream_client,
+    )
+
+    srv = SegmentationServer(engine, port=0, max_batch=4, max_conns=1,
+                             **ALGO)
+    t = threading.Thread(target=srv.serve_forever, kwargs={"poll_s": 0.01},
+                         daemon=True)
+    t.start()
+    try:
+        first = socket.create_connection(tuple(srv.address))
+        first.sendall(b"\n")  # empty header: occupies the one slot
+        time.sleep(0.3)
+
+        second = socket.create_connection(tuple(srv.address))
+        buf = b""
+        while b"\n" not in buf:
+            data = second.recv(65536)
+            if not data:
+                break
+            buf += data
+        second.close()
+        msg = json.loads(buf.splitlines()[0])
+        assert msg["type"] == "error" and "capacity" in msg["error"]
+
+        # the occupant still serves end to end
+        wav = _wav(50, 8.1)
+        first.sendall(_pcm(wav))
+        first.shutdown(socket.SHUT_WR)
+        buf = b""
+        while True:
+            data = first.recv(65536)
+            if not data:
+                break
+            buf += data
+        first.close()
+        lines = [json.loads(ln) for ln in buf.splitlines() if ln.strip()]
+        assert lines[-1]["type"] == "end"
+        assert lines[-1]["audio_secs"] == pytest.approx(len(wav) / 16000,
+                                                        abs=1e-3)
+    finally:
+        srv.shutdown()
+        t.join(timeout=10)
+
+
 def test_server_stats_line(engine, caplog):
     """stats_every_s emits the periodic ops line with totals."""
     import logging

@@ -58,6 +58,7 @@ def build_server(config) -> SegmentationServer:
         unix_path=config.get("unix_path") or None,
         max_batch=int(config.get("max_batch", 8)),
         stats_every_s=float(config.get("stats_every_s", 60.0)),
+        max_conns=int(config.get("max_conns", 0)),
         segment_length=float(config.segment_length),
         algorithm=tag,
         **algo_conf,

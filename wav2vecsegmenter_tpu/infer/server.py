@@ -123,7 +123,10 @@ class SegmentationServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
                  unix_path: str | None = None, max_batch: int = 8,
                  backlog: int = 64, stats_every_s: float = 0.0,
-                 **stream_kwargs):
+                 max_conns: int = 0, **stream_kwargs):
+        # 0 = unlimited; above the cap new connections get a JSON error
+        # line and an immediate close instead of degrading the whole pool
+        self.max_conns = int(max_conns or 0)
         self.mux = MultiStreamSegmenter(engine, max_batch=max_batch,
                                         **stream_kwargs)
         # periodic ops line: active conns, interval audio ingested vs wall
@@ -272,6 +275,16 @@ class SegmentationServer:
         try:
             sock, _ = self._lsock.accept()
         except OSError:
+            return
+        if self.max_conns and len(self._conns) >= self.max_conns:
+            try:
+                sock.sendall((json.dumps(
+                    {"type": "error",
+                     "error": f"server at capacity ({self.max_conns} "
+                              "connections)"}) + "\n").encode())
+            except OSError:
+                pass
+            sock.close()
             return
         sock.setblocking(False)
         conn = _Conn(sock, self._next_sid)
