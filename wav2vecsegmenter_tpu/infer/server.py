@@ -69,6 +69,8 @@ class _Conn:
         self.samples = 0
         self.n_segments = 0
         self.closed = False
+        self.draining = False  # error sent; lingering until peer EOF
+        self.drain_deadline = 0.0
 
     def take_pcm(self, data: bytes) -> np.ndarray:
         """Header-then-PCM framing; returns new float32 samples."""
@@ -223,6 +225,12 @@ class SegmentationServer:
                 continue
             except OSError:
                 data = b""
+            if conn.draining:
+                # error already sent: discard the peer's in-flight bytes
+                # until EOF, then close (see _abort)
+                if not data:
+                    self._drop(conn)
+                continue
             if data:
                 try:
                     chunk = conn.take_pcm(data)
@@ -234,7 +242,7 @@ class SegmentationServer:
                 except (ValueError, TypeError, NotImplementedError,
                         json.JSONDecodeError) as e:
                     conn.send_line({"type": "error", "error": str(e)})
-                    self._drop(conn)
+                    self._abort(conn)
                     continue
                 if len(chunk):
                     self._stats_samples += len(chunk)
@@ -253,6 +261,11 @@ class SegmentationServer:
 
         for conn in ended:
             self._finish(conn)
+
+        # expire draining connections whose peer never sent EOF
+        for conn in list(self._conns.values()):
+            if conn.draining and time.monotonic() > conn.drain_deadline:
+                self._drop(conn)
 
         if self.stats_every_s:
             wall = time.monotonic() - self._stats_t0
@@ -322,6 +335,19 @@ class SegmentationServer:
         })
         self._drop(conn)
 
+    def _abort(self, conn: _Conn) -> None:
+        """Lingering close after an error line: shut the write side and
+        keep reading until the peer's EOF — an immediate close() while the
+        peer's PCM is still in flight would RST the connection and can
+        destroy the just-sent error line before the peer reads it."""
+        try:
+            conn.sock.shutdown(socket.SHUT_WR)
+        except OSError:
+            self._drop(conn)
+            return
+        conn.draining = True
+        conn.drain_deadline = time.monotonic() + 10.0
+
     def _drop(self, conn: _Conn) -> None:
         if conn.sid in self._conns:
             del self._conns[conn.sid]
@@ -369,16 +395,24 @@ def segment_stream_client(address, pcm: bytes, name: str = "",
                     break
         except BlockingIOError:
             pass
+        except OSError:
+            return False  # reset mid-read: keep whatever arrived
         finally:
             sock.setblocking(True)
         return True
 
     for i in range(0, len(pcm), chunk_bytes):
-        sock.sendall(pcm[i: i + chunk_bytes])
+        try:
+            sock.sendall(pcm[i: i + chunk_bytes])
+        except OSError:
+            break  # server shut the stream (e.g. header rejected)
         if pace_s:
             time.sleep(pace_s)
         drain(block=False)
-    sock.shutdown(socket.SHUT_WR)
+    try:
+        sock.shutdown(socket.SHUT_WR)
+    except OSError:
+        pass
     while drain(block=True):
         pass
     for line in buf.splitlines():
