@@ -10,13 +10,25 @@ whole pool, not one stream at a time.
 
 Wire protocol (newline-delimited JSON control plane, binary data plane):
 
-  client -> server:  {"name": "talk7"}\\n        header (name optional)
+  client -> server:  {"name": "talk7"}\\n        header (name optional;
+                     may also carry per-connection algorithm overrides,
+                     see _HEADER_ALGO_KEYS)
                      <raw s16le mono 16 kHz PCM ...>
                      shutdown(SHUT_WR) / FIN      end of stream
   server -> client:  {"type": "segment", "name", "offset", "duration",
                       "stream_pos_s", "lag_s"}\\n      per commit
                      {"type": "end", "name", "n_segments",
                       "audio_secs"}\\n                  after the tail flush
+                     {"type": "error", "error"}\\n     bad header / above
+                     max_conns capacity; after an error the server shuts
+                     its write side and lingers reading until the peer's
+                     EOF (immediate close would RST the unread error line)
+
+Operational behavior: a SIGTERM/SIGINT'd daemon (or any serve_forever
+exit) DRAINS first — every active stream gets its final partial window,
+tail segments, and end line before the socket closes.  ``stats_every_s``
+logs a periodic ops line (active connections, interval audio vs wall =
+aggregate serving xRT, lifetime totals); ``max_conns`` caps the pool.
 
 The event loop is a single thread (selectors): socket reads are
 non-blocking, encoder calls are synchronous — batching makes them serve
