@@ -248,7 +248,8 @@ def bench_online() -> None:
     print(f"# streams={n_streams} talk_secs={talk_secs:g} segs={n_segs} "
           f"walls={['%.2f' % w for w in walls]} "
           f"algorithmic commit lag mean={mean_lag:.2f}s p95={p95_lag:.2f}s "
-          f"backend={jax.default_backend()} layers={keep_layers}",
+          f"backend={jax.default_backend()} layers={keep_layers} "
+          f"quantize={os.environ.get('BENCH_QUANT') or 'none'}",
           file=sys.stderr)
 
 
