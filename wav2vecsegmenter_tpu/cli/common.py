@@ -255,12 +255,11 @@ def segment_wavs(
     rt = config.get("runtime") or {}
     mesh, n_data, n_model = resolve_mesh(rt.get("mesh"))
     n_devices = n_data  # windows shard over the data axis only
-    if mesh is not None and n_model > 1:
-        # tensor-parallel inference partitions the GEMMs via GSPMD; Pallas
-        # kernels are opaque to the partitioner (parallel/mesh.py)
-        from ..ops.backend import set_backend
+    # Pallas kernels compose with the mesh via shard_map (ops/shmap.py) —
+    # install the context before the engine's forwards are traced
+    from ..ops.backend import set_mesh
 
-        set_backend("xla")
+    set_mesh(mesh)
     batch_size = int(config.batch_size)
     if mesh is not None:
         padded = pad_batch_to_devices(batch_size, n_devices)

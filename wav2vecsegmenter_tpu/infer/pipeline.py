@@ -28,8 +28,8 @@ class WindowInference:
     data-axis size (loaders pad every batch to the static batch size, so
     this is a config choice, not a data property).  Params are replicated,
     or tensor-parallel over a 'model' axis when the mesh has one
-    (parallel/mesh.param_shardings; requires the xla kernel path — see
-    cli/common.segment_wavs)."""
+    (parallel/mesh.param_shardings); the Pallas kernels stay active —
+    they shard over the mesh via shard_map (ops/shmap.py)."""
 
     def __init__(self, model, params, loss_tag: str = "bce",
                  compute_dtype=jnp.float32, vocab=None,
@@ -44,6 +44,12 @@ class WindowInference:
         self.loss_fn = loss_fn  # optional: per-batch eval loss (bce only)
         self._jitted: dict = {}
         self._param_sh = None
+        if mesh is not None:
+            # Pallas kernels shard over the mesh via shard_map (ops/shmap.py);
+            # the context must be live when _make_forward traces
+            from ..ops.backend import set_mesh
+
+            set_mesh(mesh)
         if quantize:
             if quantize != "int8":
                 raise ValueError(f"unknown quantize mode '{quantize}' "

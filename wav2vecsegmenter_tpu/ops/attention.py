@@ -255,6 +255,16 @@ def _fused_bwd(scale, res, g):
 _fused_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _dispatch_fused(q, k, v, bias, scale):
+    """Fused attention, shard_map'd over an active mesh (batch -> 'data',
+    heads -> 'model'; ops/shmap.py) — plain pallas_call otherwise."""
+    from .shmap import shard_attention
+
+    return shard_attention(
+        lambda a, b_, c, d: _fused_attention(a, b_, c, d, scale),
+        q, k, v, bias)
+
+
 def attention_pallas_bthd(
     q: jax.Array,  # [B, T, H, D]
     k: jax.Array,
@@ -268,8 +278,8 @@ def attention_pallas_bthd(
     # the full dims, which Mosaic accepts at any size
     b, t, h, d = q.shape
     bias = _key_bias(key_mask, b, k.shape[1])  # bias covers the KEYS
-    out = _fused_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                           v.transpose(0, 2, 1, 3), bias, float(scale))
+    out = _dispatch_fused(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                          v.transpose(0, 2, 1, 3), bias, float(scale))
     return out.transpose(0, 2, 1, 3)
 
 
@@ -302,7 +312,7 @@ def attention_pallas(
 ) -> jax.Array:
     b, h, t, d = q.shape
     bias = _key_bias(key_mask, b, k.shape[2])  # bias covers the KEYS
-    return _fused_attention(q, k, v, bias, float(scale))
+    return _dispatch_fused(q, k, v, bias, float(scale))
 
 
 def attention(

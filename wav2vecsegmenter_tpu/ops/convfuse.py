@@ -54,8 +54,14 @@ def convfuse_enabled() -> bool:
     this rig (interpret mode does not catch lowering failures, and a bad
     program can wedge the axon compile server — see PERF.md).  Tests and
     the TPU smoke set W2VSEG_CONVFUSE=1.
+
+    Also off under an active mesh: unlike attention/LN (ops/shmap.py) this
+    kernel is not shard_map-wrapped yet, and GSPMD cannot partition a bare
+    pallas_call.
     """
-    return os.environ.get("W2VSEG_CONVFUSE", "0") == "1"
+    from .backend import get_mesh
+
+    return os.environ.get("W2VSEG_CONVFUSE", "0") == "1" and get_mesh() is None
 
 
 def _xla_ref(y, w_taps, cbias, scale, bias, eps, t_out):

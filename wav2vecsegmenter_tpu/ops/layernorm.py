@@ -153,7 +153,13 @@ def layer_norm_pallas(x: jax.Array, scale: jax.Array, bias: jax.Array,
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
                eps: float = _EPS) -> jax.Array:
     if get_backend() == "pallas":
-        return layer_norm_pallas(x, scale, bias, eps=eps)
+        from .shmap import shard_rows
+
+        # rows are independent: under an active mesh the kernel runs
+        # shard_map'd over the leading (batch) dim (ops/shmap.py)
+        return shard_rows(
+            lambda a, s, b: layer_norm_pallas(a, s, b, eps=eps),
+            x, scale, bias)
     return layer_norm_xla(x, scale, bias, eps)
 
 
@@ -249,11 +255,18 @@ def bias_layer_norm_gelu(x: jax.Array, conv_bias: jax.Array,
     """(x + conv_bias) -> LayerNorm(scale, bias) -> exact GELU, fused."""
     if get_backend() != "pallas":
         return _bln_gelu_xla(x, conv_bias, scale, bias, eps)
-    orig_shape = x.shape
-    h = orig_shape[-1]
-    rows = 1
-    for d in orig_shape[:-1]:
-        rows *= d
-    x2 = x.reshape(rows, h)
-    out = _bln_gelu_2d(x2, conv_bias, scale, bias, eps, block_rows)
-    return out.reshape(orig_shape)
+    from .shmap import shard_rows
+
+    def fused(x, conv_bias, scale, bias):
+        orig_shape = x.shape
+        h = orig_shape[-1]
+        rows = 1
+        for d in orig_shape[:-1]:
+            rows *= d
+        x2 = x.reshape(rows, h)
+        out = _bln_gelu_2d(x2, conv_bias, scale, bias, eps, block_rows)
+        return out.reshape(orig_shape)
+
+    # rows are independent: the reshape/pad happens per-shard inside the
+    # shard_map so sharded leading dims never retile
+    return shard_rows(fused, x, conv_bias, scale, bias)

@@ -1,0 +1,78 @@
+"""Sharded execution of Pallas kernels over an active device mesh.
+
+GSPMD cannot auto-partition a Mosaic custom call: a ``pallas_call`` inside a
+jit whose operands carry shardings is a hard partitioner error (verified —
+``spmd_partitioner.cc`` RET_CHECK), which is why rounds 1-3 forced the XLA
+ops path whenever ``runtime.mesh`` had a model axis.  The fix is manual
+partitioning: ``jax.shard_map`` splits the operands along axes the kernel is
+embarrassingly parallel over — batch rows over 'data', attention heads over
+'model' — and runs the unchanged single-device kernel on each shard.  No
+collectives are needed inside any of these ops (rows and heads never
+interact); the surrounding GEMMs stay under GSPMD, which inserts the
+Megatron all-reduces at the block boundaries exactly as before.
+
+``check_vma=False``: the kernels are custom_vjp-wrapped pallas_calls whose
+varying-manual-axes inference jax cannot see through; correctness of the
+specs is covered by tests/test_ops.py::test_shard_map_* and the train-step
+TP tests instead.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from .backend import get_mesh
+
+
+def axis_if_divisible(mesh, axis: str, dim: int) -> str | None:
+    """Mesh axis name if it exists, is >1 and divides ``dim``; else None
+    (the op then stays replicated over that axis — same fallback rule as
+    parallel/mesh.param_shardings uses for odd weight dims)."""
+    n = mesh.shape.get(axis, 1)
+    return axis if n > 1 and dim % n == 0 else None
+
+
+def shard_rows(fn, x, *replicated_args):
+    """Run a row-parallel op sharded over the mesh's 'data' axis.
+
+    ``fn(x, *replicated_args)`` must be independent across ``x``'s LEADING
+    dim (LayerNorm rows, conv-epilogue rows: every row normalizes over its
+    own last-dim slice).  Outside a mesh context this is ``fn`` itself."""
+    mesh = get_mesh()
+    if mesh is None:
+        return fn(x, *replicated_args)
+    data = axis_if_divisible(mesh, "data", x.shape[0])
+    spec = P(*([data] + [None] * (x.ndim - 1)))
+    rep = P()
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(spec,) + (rep,) * len(replicated_args),
+        out_specs=spec,
+        check_vma=False,
+    )(x, *replicated_args)
+
+
+def shard_attention(fn, q, k, v, bias):
+    """Run a fused attention kernel with batch over 'data' and heads over
+    'model' (q/k/v are [B, H, T, D]; bias is the [B, 1, T_k] key bias).
+
+    Heads are embarrassingly parallel — with column-parallel q/k/v
+    projections the incoming activations are already head-sharded over
+    'model', so this keeps them resident (no all-gather) and each device
+    runs the kernel on its head slice."""
+    mesh = get_mesh()
+    if mesh is None:
+        return fn(q, k, v, bias)
+    data = axis_if_divisible(mesh, "data", q.shape[0])
+    model = axis_if_divisible(mesh, "model", q.shape[1])
+    qspec = P(data, model, None, None)
+    bspec = P(data, None, None)
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(qspec, qspec, qspec, bspec),
+        out_specs=qspec,
+        check_vma=False,
+    )(q, k, v, bias)

@@ -13,10 +13,11 @@ over chips with XLA-inserted collectives riding ICI:
   so each device computes a head/FFN slice and XLA inserts one
   reduce-scatter/all-reduce per block boundary.  Optimizer moments inherit
   the param shardings (see ``state_shardings``), cutting per-device
-  optimizer memory by the model-axis size.  Tensor parallelism requires the
-  XLA ops path (``kernels: xla``) — Pallas kernels are opaque to GSPMD and
-  cannot be auto-partitioned over sharded operands; callers that enable
-  ``model > 1`` must (and do — train/loop.py) force the xla backend.
+  optimizer memory by the model-axis size.  The fused Pallas kernels stay
+  active under the mesh: GSPMD cannot auto-partition a Mosaic custom call,
+  so the ops wrap their kernels in ``jax.shard_map`` (heads over 'model',
+  batch rows over 'data' — ops/shmap.py) when train/loop.py /
+  cli/common.py install the mesh context via ``ops.backend.set_mesh``.
 
 The helpers here also back the multi-chip dry-run path
 (__graft_entry__.dryrun_multichip) and CPU tests with
