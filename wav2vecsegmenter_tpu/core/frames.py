@@ -41,8 +41,15 @@ def secs_to_inframes(x):
     return np.round(np.asarray(x) * INPUT_SAMPLE_RATE).astype(int)
 
 
-def conv_output_length(input_length, kernel_sizes=(10, 3, 3, 3, 3, 2, 2),
-                       strides=(5, 2, 2, 2, 2, 2, 2)):
+# wav2vec2 feature-extractor conv geometry (shared with traced-code callers
+# that re-run the floor arithmetic on jnp arrays, e.g. train/step.py's CTC
+# logit paddings)
+CONV_KERNEL_SIZES = (10, 3, 3, 3, 3, 2, 2)
+CONV_STRIDES = (5, 2, 2, 2, 2, 2, 2)
+
+
+def conv_output_length(input_length, kernel_sizes=CONV_KERNEL_SIZES,
+                       strides=CONV_STRIDES):
     """Exact output length of the wav2vec2 strided-conv feature extractor.
 
     Mirrors HF ``Wav2Vec2Model._get_feat_extract_output_lengths``: repeated

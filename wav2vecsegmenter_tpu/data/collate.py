@@ -40,6 +40,9 @@ class Batch:
     # real example rows (the rest are static-shape padding); the reference's
     # per-batch loss means over exactly these rows (lib/evaluate.py:81)
     n_real: int = 0
+    # CTC task: encoded window transcripts [B, U_static] (vocab ids, padded
+    # with the vocab pad id) — None for every other task
+    tokens: np.ndarray | None = None
 
 
 def collate(
@@ -49,6 +52,8 @@ def collate(
     out_len: int,
     pad_token_id: float = 0.0,
     device_normalize: bool = False,
+    transcripts: list[str] | None = None,
+    ctc_vocab=None,
 ) -> Batch:
     """examples: list of (waveform, target|None, start, end) numpy tuples.
 
@@ -122,9 +127,21 @@ def collate(
             # shrinking the widest rows' key set in the seg-head attention
             out_mask[:, size2 - 1 :] = False
 
+    # CTC targets: encoded transcripts, statically padded to the bucket's
+    # output-frame count (a feasible CTC label sequence can never exceed the
+    # frame count; longer transcripts are truncated — they indicate a window
+    # far too short for its text)
+    tokens = None
+    if transcripts is not None and ctc_vocab is not None:
+        tokens = np.full((batch_size, out_len), ctc_vocab.pad_token_id,
+                         np.int32)
+        for i, text in enumerate(transcripts):
+            ids = ctc_vocab.encode_transcript(text)[:out_len]
+            tokens[i, : len(ids)] = ids
+
     return Batch(audio, in_lengths, target, out_mask, included, starts, ends,
                  norm_length=norm_length, device_normalize=device_normalize,
-                 n_real=n)
+                 n_real=n, tokens=tokens)
 
 
 def out_len_for(audio_len: int) -> int:

@@ -27,6 +27,24 @@ class SegmentationCorpus:
     def __init__(self, talk_list: str, segments_list: str) -> None:
         self.talks_df = pd.read_csv(talk_list, sep="\t", index_col=0)
         self.segments_df = pd.read_csv(segments_list, sep="\t", index_col=0)
+        # transcripts for the CTC task: the reference left this unloaded
+        # (lib/dataset.py:45 "[TODO] load self.tgt_text"); here an optional
+        # ``tgt_text`` column in segments.tsv carries them (data/prep.py
+        # writes it when the MuST-C split has a transcript file)
+        self.has_text = "tgt_text" in self.segments_df.columns
+
+    def window_transcript(self, talk_id, start: int, end: int) -> str:
+        """Transcript of the window [start, end) in input-space frames:
+        texts of the true segments FULLY contained in the window, joined by
+        spaces.  Partially-overlapping segments are excluded — their text
+        covers audio outside the window and would misalign the CTC targets;
+        their in-window audio stays unlabeled (a conservative cost CTC
+        absorbs via blanks)."""
+        segs = self.segments_df.loc[self.segments_df.talk_id == talk_id]
+        segs = segs[(segs.start >= start) & (segs.end <= end)]
+        texts = [str(t) for t in segs.sort_values("start").tgt_text
+                 if isinstance(t, str) or not pd.isna(t)]
+        return " ".join(t.strip() for t in texts if t.strip())
 
     def talk_ids(self) -> list:
         return self.talks_df["id"].tolist()
@@ -83,6 +101,8 @@ class _GridDataset:
         self.corpus = corpus
         # rows: (talk_id, path, start_in, end_in, spans)
         self.rows: list = []
+        # parallel to rows when the corpus carries tgt_text (CTC task)
+        self.transcripts: list[str] = []
         self.n_pos = 0
         self.n_all = 0
         # set by fixed-grid subclasses (talk-sequential access); None for
@@ -97,6 +117,14 @@ class _GridDataset:
             self.rows.append((talk_id, row["path"], int(s), int(e), spans))
             self.n_pos += sum(ee - ss for ss, ee in spans)
             self.n_all += int(inframes_to_outframes(e - s))
+            if self.corpus.has_text:
+                self.transcripts.append(
+                    self.corpus.window_transcript(talk_id, int(s), int(e)))
+
+    def transcript(self, idx: int) -> str:
+        """Window transcript for the CTC task ('' without a tgt_text
+        column)."""
+        return self.transcripts[idx] if self.transcripts else ""
 
     @property
     def pos_class_percentage(self) -> float:
@@ -149,6 +177,7 @@ class FixedSegmentationDataset(_GridDataset):
 
     def generate_fixed_segments(self, talk_id, iteration: int) -> None:
         self.rows = []
+        self.transcripts = []
         row = self.corpus.talk_row(talk_id)
         total = int(row["total_frames"])
         self.duration_outframes = int(inframes_to_outframes(total))
@@ -159,6 +188,7 @@ class FixedSegmentationDataset(_GridDataset):
 
     def generate_fixed_segments_all_talks(self, iteration: int) -> None:
         self.rows = []
+        self.transcripts = []
         for _, talk in self.corpus.talks_df.iterrows():
             total = int(talk["total_frames"])
             starts, ends = fixed_window_grid(

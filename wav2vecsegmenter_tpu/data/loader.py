@@ -55,7 +55,11 @@ class BatchIterator:
         device_normalize: bool = False,
         remainder_ladder: bool = False,
         min_multiple: int = 1,
+        ctc_vocab=None,
     ) -> None:
+        # CTC task: collate encoded window transcripts alongside the frame
+        # targets (dataset.transcript(idx); data/datasets.py)
+        self.ctc_vocab = ctc_vocab
         self.dataset = dataset
         self.batch_size = batch_size
         self.std_len, self.tail_len = audio_bucket_lengths(segment_length_secs)
@@ -142,10 +146,15 @@ class BatchIterator:
                                 int(self.pad_token_id), self.sep_token_id,
                             )
                         else:
+                            transcripts = (
+                                [self.dataset.transcript(i) for i in idx]
+                                if self.ctc_vocab is not None else None)
                             batch = collate(
                                 examples, slots, audio_len, out_len,
                                 self.pad_token_id,
                                 device_normalize=self.device_normalize,
+                                transcripts=transcripts,
+                                ctc_vocab=self.ctc_vocab,
                             )
                         if not put_or_stop(batch):
                             return
@@ -182,7 +191,9 @@ class RandomDataloaderGenerator:
         vocab=None,
         seed: int | None = None,
         device_normalize: bool = False,
+        ctc: bool = False,
     ) -> None:
+        self.ctc = ctc
         self.device_normalize = device_normalize
         self.talk_list = talk_list
         self.segments_list = segments_list
@@ -217,6 +228,7 @@ class RandomDataloaderGenerator:
             autoregression=self.autoregression,
             sep_token_id=self.vocab.sep_token_id if self.vocab else 3,
             device_normalize=self.device_normalize and not self.autoregression,
+            ctc_vocab=self.vocab if self.ctc else None,
         )
 
 
@@ -236,7 +248,9 @@ class FixedDataloaderGenerator:
         device_normalize: bool = False,
         remainder_ladder: bool = False,
         min_multiple: int = 1,
+        ctc: bool = False,
     ) -> None:
+        self.ctc = ctc
         # right-size each talk's final partial batch (see _slots_for); the
         # train loop flips this from runtime.infer_remainder_ladder
         self.remainder_ladder = remainder_ladder
@@ -270,6 +284,7 @@ class FixedDataloaderGenerator:
             # mesh runs need every ladder slot count divisible by the data
             # axis (the train loop sets this alongside remainder_ladder)
             min_multiple=self.min_multiple,
+            ctc_vocab=self.vocab if self.ctc else None,
         )
 
     def get_talk_ids(self) -> list:

@@ -24,8 +24,14 @@ def prepare_dataset_for_segmentation(
     wav_dir: str | Path,
     output_dir: str | Path,
     split: str | None = None,
+    txt_path: str | Path | None = None,
 ) -> tuple[Path, Path]:
-    """Build the talks/segments TSV pair for a corpus split."""
+    """Build the talks/segments TSV pair for a corpus split.
+
+    ``txt_path``: optional MuST-C transcript file (one line per yaml
+    segment, e.g. ``train.en``); when given, segments.tsv gains a
+    ``tgt_text`` column — the transcript source for the CTC task the
+    reference planned but never wired (lib/dataset.py:45)."""
     yaml_path = Path(yaml_path)
     wav_dir = Path(wav_dir)
     output_dir = Path(output_dir)
@@ -35,9 +41,15 @@ def prepare_dataset_for_segmentation(
     with open(yaml_path) as f:
         rows = yaml.safe_load(f)
 
+    texts = None
+    if txt_path is not None:
+        texts = Path(txt_path).read_text().splitlines()
+        assert len(texts) == len(rows), (
+            f"{txt_path}: {len(texts)} lines vs {len(rows)} yaml segments")
+
     talks: dict[str, dict] = {}
     seg_rows = []
-    for r in rows:
+    for i, r in enumerate(rows):
         wav = r["wav"]
         talk_id = Path(wav).stem
         if talk_id not in talks:
@@ -52,7 +64,10 @@ def prepare_dataset_for_segmentation(
         start = int(round(float(r["offset"]) * INPUT_SAMPLE_RATE))
         end = start + int(round(float(r["duration"]) * INPUT_SAMPLE_RATE))
         end = min(end, talks[talk_id]["total_frames"])
-        seg_rows.append({"talk_id": talk_id, "start": start, "end": end})
+        seg = {"talk_id": talk_id, "start": start, "end": end}
+        if texts is not None:
+            seg["tgt_text"] = texts[i].strip()
+        seg_rows.append(seg)
 
     talks_df = pd.DataFrame(list(talks.values()))
     segments_df = pd.DataFrame(seg_rows)

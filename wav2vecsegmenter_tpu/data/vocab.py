@@ -70,3 +70,19 @@ class UppercasedCharVocabulary(BaseVocabulary):
             char_vocab[k] += self.n_special_tokens
         self.word2id = {**self.word2id, **char_vocab}
         self.set_properties()
+        self.unk_token_id = self.word2id["<unk>"]
+        self.word_delimiter_id = self.word2id["|"]
+
+    def encode_transcript(self, text: str) -> list[int]:
+        """Uppercased characters -> vocabulary ids (offset by the special
+        tokens), spaces mapped to the wav2vec2 word delimiter '|' and
+        unknown characters to <unk> — the tgt_text encoding for the CTC
+        task the reference planned but never wired
+        (/root/reference/lib/dataset.py:45 '[TODO] load self.tgt_text')."""
+        ids = []
+        for ch in " ".join(text.upper().split()):
+            if ch == " ":
+                ids.append(self.word_delimiter_id)
+            else:
+                ids.append(self.word2id.get(ch, self.unk_token_id))
+        return ids

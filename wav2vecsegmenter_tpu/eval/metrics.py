@@ -71,7 +71,10 @@ def evaluate(
             # here (lib/evaluate.py:185) — with the default inference_times=1
             # this is a no-op; replicated for metric parity.
             preds = probs / inference_times > 0.5
-        elif loss_tag in ("ce", "ssl"):
+        elif loss_tag in ("ce", "ssl", "ctc"):
+            # ctc reuses the ssl frame metrics: the SFC head emits the same
+            # multi-class frame logits; under a pure-CTC loss it is untrained
+            # (the metric then tracks the backbone adaptation only)
             preds = np.argmax(logits, axis=-1) == vocab.boundary_token_id
             spe_mask = targets != vocab.pad_token_id
             targets = targets * spe_mask

@@ -215,10 +215,15 @@ class SHASWithSSL:
         init_dropout: float = 0.1,
         vocab_size: int = 36,
         ctc_vocab_size: int = 32,
+        wav2vec_keep_layers: int | None = None,
     ) -> None:
         self.wav2vec_model_name = wav2vec_model_name
         self.finetune_wav2vec = bool(finetune_wav2vec)
-        self.w2v_cfg = config_for(wav2vec_model_name, keep_layers=None)
+        # keep_layers: the reference's shas_ctc task truncates its (never-
+        # implemented) CTC backbone to 15 layers (conf/task/shas_ctc.yaml:6);
+        # None keeps the full stack (the ssl task's contract)
+        self.w2v_cfg = config_for(wav2vec_model_name,
+                                  keep_layers=wav2vec_keep_layers)
         self.n_enc_layers = n_transformer_enc_layers
         self.n_enc_heads = n_transformer_enc_heads
         self.init_dropout = init_dropout

@@ -53,6 +53,9 @@ def _batch_arrays(b) -> dict:
     if b.device_normalize:
         out["included"] = b.included
         out["norm_length"] = np.asarray(b.norm_length, np.int32)
+    if b.tokens is not None:  # CTC task: encoded window transcripts
+        out["tokens"] = b.tokens
+        out["included"] = b.included
     return out
 
 
@@ -165,14 +168,12 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
         "steps_per_call", 8 if jax.default_backend() == "tpu" else 1))
     mesh, n_data, n_model = resolve_mesh(rt.get("mesh"))
     n_devices = n_data  # batch replication factor = data axis only
-    if mesh is not None and (n_model > 1
-                             or (rt.get("mesh") or {}).get("fsdp")):
-        # tensor parallelism / FSDP partition the GEMMs and params via
-        # GSPMD; Pallas kernels are opaque to the partitioner
-        # (parallel/mesh.py)
-        from ..ops.backend import set_backend
+    # Pallas kernels compose with the mesh via shard_map (ops/shmap.py:
+    # batch rows over 'data', attention heads over 'model') — install the
+    # context before any jit traces.  Rounds 1-3 forced kernels=xla here.
+    from ..ops.backend import set_mesh
 
-        set_backend("xla")
+    set_mesh(mesh)
 
     # effective batch = batch_size * n_devices (reference train.py:245)
     effective_batch_size = int(config.batch_size) * max(1, n_devices)
@@ -183,6 +184,9 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
 
     vocab = instantiate(config.task.vocab) if config.task.get("vocab") else None
     autoregression = bool(config.task.autoregression)
+    # the CTC task needs encoded transcripts in its batches (tokens field);
+    # the generators pull them from segments.tsv's tgt_text column
+    is_ctc = config.task.loss.get("tag") == "ctc"
 
     train_gen_conf = merge(
         merge(config.task.train_generator, config.data.train), device_conf)
@@ -194,11 +198,11 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
     train_gen = instantiate(
         train_gen_conf,
         autoregression=autoregression, vocab=vocab,
-        device_normalize=device_normalize,
+        device_normalize=device_normalize, ctc=is_ctc,
     )
     eval_gen = instantiate(
         merge(merge(config.task.eval_generator, config.data.eval), device_conf),
-        autoregression=autoregression, vocab=vocab,
+        autoregression=autoregression, vocab=vocab, ctc=is_ctc,
     )
     # right-size eval talks' final partial batches (data/loader._slots_for);
     # off by default in training: each new slot count compiles another eval
@@ -429,7 +433,7 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
                     ((1 / (1 + np.exp(-lg[:, :t]))) >= 0.5)[m].tolist())
                 tgt = batch.target[:, :t]
                 all_targets.extend((tgt >= 0.5)[m].tolist())
-            elif loss_tag in ("ce", "ssl") and vocab is not None:
+            elif loss_tag in ("ce", "ssl", "ctc") and vocab is not None:
                 # boundary/non-boundary micro metrics over special-token
                 # positions (reference train.py:495-504)
                 lg = np.asarray(logits)

@@ -83,20 +83,40 @@ class CrossEntropyLoss:
 
 
 class CTCLoss:
-    """CTC loss via optax (blank id 0, matching torch.nn.CTCLoss default)."""
+    """CTC loss via optax, numerically matching torch.nn.CTCLoss.
+
+    torch's ``reduction='mean'`` divides each example's negative log
+    likelihood by its target length clamped to 1 (ATen ctc_loss), THEN
+    means over the batch — not a plain mean.  ``example_mask`` restricts
+    the batch mean to real rows (static-shape padding rows never existed
+    in the reference's dynamic batches)."""
 
     def __init__(self, blank: int = 0, reduction: str = "mean", **_ignored):
         self.blank = blank
         self.reduction = reduction
 
-    def __call__(self, log_probs, targets, logit_paddings, label_paddings):
+    def __call__(self, logits, targets, logit_paddings, label_paddings,
+                 example_mask=None):
         import optax
 
         loss = optax.ctc_loss(
-            log_probs, logit_paddings, targets, label_paddings,
+            logits, logit_paddings, targets, label_paddings,
             blank_id=self.blank,
         )
-        return _reduce(loss, self.reduction)
+        if self.reduction == "mean":
+            tl = jnp.sum(1.0 - label_paddings, axis=-1)
+            loss = loss / jnp.maximum(tl, 1.0)
+        if example_mask is None:
+            if self.reduction == "mean":
+                return loss.mean()  # length division already applied
+            return _reduce(loss, self.reduction)
+        loss = jnp.where(example_mask, loss, 0.0)
+        denom = jnp.maximum(example_mask.sum(), 1)
+        if self.reduction == "mean":
+            return loss.sum() / denom
+        if self.reduction == "sum":
+            return loss.sum()
+        return loss
 
 
 def _reduce(loss, reduction: str):

@@ -220,6 +220,33 @@ def make_train_step(model, loss_fn, loss_tag: str, ma_window_steps: int,
                 batch["target"].reshape(-1),
             )
             loss = lp.sum(axis=0).mean()
+        elif loss_tag == "ctc":
+            # transcript CTC on the lm_head logits (the task the reference's
+            # conf/task/shas_ctc.yaml declares but cannot run — its data
+            # layer never loads transcripts, lib/dataset.py:45).  Labels are
+            # vocab-offset char ids from collate; the lm_head indexes the
+            # RAW wav2vec2 char vocabulary (blank/<pad>=0), so the special-
+            # token offset is removed here.
+            from ..core.frames import CONV_KERNEL_SIZES, CONV_STRIDES
+
+            ctc_logits, frame_logits = logits
+            tokens = batch["tokens"]
+            pad = vocab.pad_token_id
+            label_paddings = (tokens == pad).astype(jnp.float32)
+            labels = jnp.where(tokens == pad, 0,
+                               tokens - vocab.n_special_tokens)
+            # per-row true encoder frame count (exact conv arithmetic —
+            # ctc_logits cover conv_output_length(bucket) frames, not the
+            # 49.95 Hz out_mask estimate)
+            flen = batch["in_lengths"]
+            for k_, s_ in zip(CONV_KERNEL_SIZES, CONV_STRIDES):
+                flen = (flen - k_) // s_ + 1
+            t_enc = ctc_logits.shape[1]
+            logit_paddings = (jnp.arange(t_enc)[None, :]
+                              >= flen[:, None]).astype(jnp.float32)
+            loss = loss_fn(ctc_logits, labels, logit_paddings,
+                           label_paddings, example_mask=batch["included"])
+            logits = frame_logits
         else:
             raise NotImplementedError(loss_tag)
         return loss, logits
@@ -256,6 +283,8 @@ def make_train_step(model, loss_fn, loss_tag: str, ma_window_steps: int,
             }
         if device_normalize and not autoregression:
             batch_shardings.update({"norm_length": rep, "included": data_sh})
+        if loss_tag == "ctc":
+            batch_shardings.update({"tokens": data_sh, "included": data_sh})
         # after the autoregression overwrite: an autoreg task overridden to a
         # bce-tag loss still gets pos_weight injected by the train loop
         if dynamic_pos_weight:
