@@ -258,6 +258,13 @@ def bench_online() -> None:
           file=sys.stderr)
 
 
+def _stage(msg: str) -> None:
+    """Stage progress to stderr (timestamped): a wedged-tunnel run must be
+    attributable to a stage, not a silent timeout (2026-08-19 incident)."""
+    print(f"## [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def _start_init_watchdog():
     """The axon tunnel can wedge with jax.devices() blocking forever
     (observed: device init hung 20+ min then UNAVAILABLE).  Emit a
@@ -371,8 +378,10 @@ def main() -> None:
         from wav2vecsegmenter_tpu.checkpoints.torch_export import (
             export_torch_checkpoint)
 
+        _stage("init params on host cpu")
         with jax.default_device(jax.devices("cpu")[0]):
             init_params = model.init(jax.random.PRNGKey(0))
+        _stage("export reference-layout .pt")
         ckpt_tmp = tempfile.NamedTemporaryFile(suffix=".pt", delete=False)
         ckpt_tmp.close()
         # force the FULL reference layout (backbone + head, 323.8M params at
@@ -387,6 +396,7 @@ def main() -> None:
     if ckpt:
         from wav2vecsegmenter_tpu.checkpoints.io import load_model_checkpoint
 
+        _stage(f"load checkpoint {ckpt}")
         params = load_model_checkpoint(model, ckpt)
         weights_src = "ckpt" if ckpt_tmp else ckpt
         if ckpt_tmp:
@@ -396,6 +406,7 @@ def main() -> None:
             params = model.init(jax.random.PRNGKey(0))
         weights_src = "random"
     if on_tpu:
+        _stage("upload params to device")
         params = jax.device_put(params, jax.devices()[0])
     # BENCH_QUANT=int8: the opt-in w8a8 serving path (ops/quant.py) for
     # A/B against the bf16 default; output deviation documented in PARITY.md
@@ -431,7 +442,9 @@ def main() -> None:
             return segment_wavs(sweep_cfg, model, params, None, paths,
                                 compute_dtype, engine=engine)
 
+        _stage("warmup sweep (compiles both buckets + ladder)")
         run_once()  # warmup: compile both shape buckets + ladder shapes
+        _stage("warmup done; timed passes")
         # the TPU tunnel has high latency variance (same sweep measured
         # 2.3-4.3 s across minutes); report the best of N passes (the
         # sustained-throughput measure), log all passes.  6 passes ~25 s:
@@ -442,6 +455,7 @@ def main() -> None:
             t0 = time.perf_counter()
             yaml_content = run_once()
             walls.append(time.perf_counter() - t0)
+            _stage(f"pass {len(walls)}/{n_passes}: {walls[-1]:.2f}s")
         wall = min(walls)
 
         # companion number: single last talk, single pass (the steady-state
@@ -451,6 +465,7 @@ def main() -> None:
         if len(talk_specs) > 1:
             saved_times = sweep_cfg["inference_times"]
             sweep_cfg["inference_times"] = 1
+            _stage("single-talk companion passes")
             single_walls = []
             for _ in range(max(3, n_passes // 2)):
                 t0 = time.perf_counter()
