@@ -132,8 +132,13 @@ def _export_sfc(params: dict, prefix: str) -> dict:
 def export_torch_checkpoint(params: dict, model, path: str | Path) -> Path:
     """Write a reference-compatible .pt; layout follows
     ``model.save_full_state`` (full vs seg-only)."""
+    import jax
     import torch
 
+    # materialize the whole tree as host numpy ONCE: the per-leaf slicing
+    # below (_unstack's x[i]) would otherwise dispatch hundreds of eager jax
+    # ops — measured >10 min for 323.8M params on the 1-core bench host
+    params = jax.device_get(params)
     path = Path(path)
     if model.save_full_state:
         sd = _export_wav2vec2(params["wav2vec"], model.w2v_cfg,
