@@ -50,18 +50,21 @@ _EPS = 1e-5
 def convfuse_enabled() -> bool:
     """Route the wide conv layers through the fused whole-layer kernel.
 
-    Off by default until the kernel's real-Mosaic lowering is verified on
-    this rig (interpret mode does not catch lowering failures, and a bad
-    program can wedge the axon compile server — see PERF.md).  Tests and
-    the TPU smoke set W2VSEG_CONVFUSE=1.
+    DEFAULT ON since round 4: the kernel's real-Mosaic lowering is verified
+    at full geometry (scripts/probe_convfuse_tpu.py, all stages;
+    tests/test_tpu_smoke.py) and the measured A/B is a 1.09x conv-stack win
+    (38.4 -> 35.3 ms per 16-window batch, scripts/bench_convfuse_ab.py —
+    PERF.md) with tighter numerics (f32 accumulation straight through the
+    epilogue, no bf16 GEMM-output write).  W2VSEG_CONVFUSE=0 restores the
+    separate GEMM + fused-epilogue path.
 
-    Also off under an active mesh: unlike attention/LN (ops/shmap.py) this
+    Off under an active mesh: unlike attention/LN (ops/shmap.py) this
     kernel is not shard_map-wrapped yet, and GSPMD cannot partition a bare
     pallas_call.
     """
     from .backend import get_mesh
 
-    return os.environ.get("W2VSEG_CONVFUSE", "0") == "1" and get_mesh() is None
+    return os.environ.get("W2VSEG_CONVFUSE", "1") == "1" and get_mesh() is None
 
 
 def _xla_ref(y, w_taps, cbias, scale, bias, eps, t_out):
@@ -84,10 +87,17 @@ def _kernel_2tap(ya_ref, yb_ref, w0_ref, w1_ref, cb_ref, sc_ref, bi_ref,
     a = ya_ref[0]  # [bt, CK]
     # tap-1 operand: rows shifted up by one, last row = halo (row 0 of the
     # NEXT block, passed as a second ref of the same array).  roll+select
-    # keeps every VMEM access sublane-aligned.
-    rolled = pltpu.roll(a, block_rows - 1, 0)  # up by one (shift >= 0 only)
+    # keeps every VMEM access sublane-aligned.  The roll runs in f32:
+    # Mosaic's tpu.dynamic_rotate lowering rejects bf16 vectors at this
+    # shape (tpu_compile_helper exit 1, attributed 2026-08-19) while the
+    # identical f32 rotate compiles and matches — two VPU casts per block
+    # are noise next to the tap GEMMs.
+    a32 = a.astype(jnp.float32)
+    rolled = pltpu.roll(a32, block_rows - 1, 0)  # up by one (shift >= 0)
     row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
-    shifted = jnp.where(row == block_rows - 1, yb_ref[0][0:1], rolled)
+    shifted = jnp.where(
+        row == block_rows - 1, yb_ref[0][0:1].astype(jnp.float32),
+        rolled).astype(a.dtype)
     acc = jnp.dot(a, w0_ref[:], preferred_element_type=jnp.float32)
     acc += jnp.dot(shifted, w1_ref[:], preferred_element_type=jnp.float32)
     x = acc + cb_ref[:].astype(jnp.float32)
