@@ -560,3 +560,29 @@ def test_shard_map_layer_norm_matches_unsharded(rng, mesh_ctx):
     np.testing.assert_allclose(
         np.asarray(got_bg),
         np.asarray(_bln_gelu_xla(x, cbias, scale, bias, 1e-5)), atol=1e-5)
+
+
+def test_shard_map_convfuse_matches_unsharded(rng, mesh_ctx, monkeypatch):
+    """conv_bias_ln_gelu under an active mesh (batch rows over 'data')
+    matches the XLA reference — the fused conv-layer kernel stays active
+    under model/data parallelism like attention/LN (ops/shmap.py)."""
+    monkeypatch.setenv("W2VSEG_CONVFUSE", "1")
+    from wav2vecsegmenter_tpu.ops import backend as backend_mod
+    from wav2vecsegmenter_tpu.ops.convfuse import _xla_ref, conv_bias_ln_gelu
+
+    b, t_out, ck, o = 4, 40, 128, 128
+    y = jnp.asarray(rng.randn(b, t_out + 1, ck).astype(np.float32) * 0.1)
+    w_taps = jnp.asarray(rng.randn(2, ck, o).astype(np.float32) * 0.05)
+    cb = jnp.asarray(rng.randn(o).astype(np.float32) * 0.1)
+    scale = jnp.asarray(1.0 + 0.1 * rng.randn(o).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.randn(o).astype(np.float32))
+
+    want = np.asarray(_xla_ref(y, w_taps, cb, scale, bias, 1e-5, t_out))
+    backend_mod.set_backend("pallas")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(conv_bias_ln_gelu(
+                y, w_taps, cb, scale, bias, t_out, block_rows=8))
+    finally:
+        backend_mod.set_backend("auto")
+    np.testing.assert_allclose(got, want, atol=2e-5)

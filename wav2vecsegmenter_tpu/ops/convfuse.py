@@ -58,13 +58,11 @@ def convfuse_enabled() -> bool:
     epilogue, no bf16 GEMM-output write).  W2VSEG_CONVFUSE=0 restores the
     separate GEMM + fused-epilogue path.
 
-    Off under an active mesh: unlike attention/LN (ops/shmap.py) this
-    kernel is not shard_map-wrapped yet, and GSPMD cannot partition a bare
-    pallas_call.
+    Under an active mesh the kernel shard_maps its batch rows over 'data'
+    (conv_bias_ln_gelu via ops/shmap.shard_rows), like the attention/LN
+    kernels — GSPMD cannot partition a bare pallas_call.
     """
-    from .backend import get_mesh
-
-    return os.environ.get("W2VSEG_CONVFUSE", "1") == "1" and get_mesh() is None
+    return os.environ.get("W2VSEG_CONVFUSE", "1") == "1"
 
 
 def _xla_ref(y, w_taps, cbias, scale, bias, eps, t_out):
@@ -199,4 +197,12 @@ def conv_bias_ln_gelu(y: jax.Array, w_taps: jax.Array, cbias: jax.Array,
     assert y.shape[1] >= t_out + n_taps - 1, (y.shape, t_out, n_taps)
     if get_backend() != "pallas":
         return _xla_ref(y, w_taps, cbias, scale, bias, eps, t_out)
-    return _fused(y, w_taps, cbias, scale, bias, eps, t_out, block_rows)
+    from .shmap import shard_rows
+
+    # batch rows are independent (the tap halo crosses Tf blocks WITHIN a
+    # batch element only), so under an active mesh the kernel shard_maps
+    # over 'data' exactly like the LN ops (ops/shmap.py)
+    return shard_rows(
+        lambda yy, w, cb, s, b: _fused(yy, w, cb, s, b, eps, t_out,
+                                       block_rows),
+        y, w_taps, cbias, scale, bias)
