@@ -386,21 +386,31 @@ def main() -> None:
         ckpt_tmp.close()
         # force the FULL reference layout (backbone + head, 323.8M params at
         # production geometry) — the head-only layout would re-load the
-        # backbone from HF, which this env blocks
+        # backbone from HF, which this env blocks.  try/finally: an export
+        # failure (e.g. a wedged tunnel mid-device_get) must neither leave
+        # the flag flipped (it changes save_full_state semantics for the
+        # rest of the process) nor leak the ~1.3 GB temp file
         saved_ft = model.finetune_wav2vec
         model.finetune_wav2vec = True
-        export_torch_checkpoint(init_params, model, ckpt_tmp.name)
-        model.finetune_wav2vec = saved_ft
+        try:
+            export_torch_checkpoint(init_params, model, ckpt_tmp.name)
+        except BaseException:
+            os.unlink(ckpt_tmp.name)
+            raise
+        finally:
+            model.finetune_wav2vec = saved_ft
         del init_params
         ckpt = ckpt_tmp.name
     if ckpt:
         from wav2vecsegmenter_tpu.checkpoints.io import load_model_checkpoint
 
         _stage(f"load checkpoint {ckpt}")
-        params = load_model_checkpoint(model, ckpt)
+        try:
+            params = load_model_checkpoint(model, ckpt)
+        finally:
+            if ckpt_tmp:
+                os.unlink(ckpt_tmp.name)
         weights_src = "ckpt" if ckpt_tmp else ckpt
-        if ckpt_tmp:
-            os.unlink(ckpt_tmp.name)
     else:
         with jax.default_device(jax.devices("cpu")[0]):
             params = model.init(jax.random.PRNGKey(0))

@@ -188,14 +188,19 @@ def _compare():
         _log(f"{talk}: max|dprob|={d.max():.5f} mean={d.mean():.6f} "
              f"p99={np.percentile(d, 99):.5f}")
 
+    # one segmentation pass per (talk, arm): _segments_for runs all four
+    # algorithms per call, so calling it inside the algorithm loop would
+    # redo each talk 4x
+    segs_a = {talk: _segments_for(a[talk]) for talk in a.files}
+    segs_b = {talk: _segments_for(b[talk]) for talk in a.files}
     for name in ALGOS:
         n_eq = 0
         max_shift = 0.0
         n_a = n_b = 0
         per_talk = {}
         for talk in a.files:
-            sa = _segments_for(a[talk])[name]
-            sb = _segments_for(b[talk])[name]
+            sa = segs_a[talk][name]
+            sb = segs_b[talk][name]
             n_a += len(sa)
             n_b += len(sb)
             shift = float("nan")

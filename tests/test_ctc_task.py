@@ -221,3 +221,29 @@ def test_ctc_train_loop_end_to_end(ctc_corpus, tmp_path, monkeypatch):
 
     tree = restore_orbax(ckpts[0])
     assert {"wav2vec", "lm_head", "final_ln", "seg"} <= set(tree)
+
+
+def test_collate_truncates_ctc_labels_to_row_logit_length():
+    """A short row in a long bucket must cap its labels at ITS OWN logit
+    length (conv frames of its real audio), not the bucket-wide out_len —
+    U > T is an infeasible CTC sequence whose ~|log_epsilon| loss would
+    poison the batch mean silently."""
+    from wav2vecsegmenter_tpu.core.frames import conv_output_length
+    from wav2vecsegmenter_tpu.data.collate import collate
+
+    vocab = UppercasedCharVocabulary()
+    L_bucket, L_short = 16000 * 20, 16000 * 4
+    out_len = 999  # 20 s bucket
+    flen_short = int(conv_output_length(L_short))  # 199
+    assert flen_short < out_len
+
+    wav = np.zeros(L_short, np.float32)
+    text = "A" * (out_len - 1)  # would fit the bucket cap, not the row
+    batch = collate(
+        [(wav, None, 0, flen_short)], batch_size=2, audio_len=L_bucket,
+        out_len=out_len, transcripts=[text], ctc_vocab=vocab,
+    )
+    n_labels = int((batch.tokens[0] != vocab.pad_token_id).sum())
+    assert n_labels == flen_short
+    # padding row stays all-pad
+    assert (batch.tokens[1] == vocab.pad_token_id).all()

@@ -586,3 +586,45 @@ def test_shard_map_convfuse_matches_unsharded(rng, mesh_ctx, monkeypatch):
     finally:
         backend_mod.set_backend("auto")
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_ops_mesh_context_scoped_and_restored(rng):
+    """Engines/step factories scope the kernel mesh per CALL (ops_mesh /
+    mesh_scoped): a meshed run must not leak its mesh to later traces in
+    the process (a stale 8-device mesh deadlocks interpret-mode shard_map
+    on this host — CLAUDE.md), and a bound mesh must shadow whatever the
+    ambient global holds."""
+    from wav2vecsegmenter_tpu.ops.backend import (
+        get_mesh, mesh_scoped, ops_mesh, set_mesh)
+    from wav2vecsegmenter_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(2, 2)
+    seen = []
+
+    def probe(x):
+        seen.append(get_mesh())
+        return x
+
+    # scoped install + restore, including on exception
+    assert get_mesh() is None
+    with ops_mesh(mesh):
+        assert get_mesh() is mesh
+        with ops_mesh(None):  # inner None shields from the outer mesh
+            assert get_mesh() is None
+        assert get_mesh() is mesh
+    assert get_mesh() is None
+    with pytest.raises(RuntimeError):
+        with ops_mesh(mesh):
+            raise RuntimeError("boom")
+    assert get_mesh() is None
+
+    # a bound callable pins its own mesh regardless of ambient state
+    bound = mesh_scoped(probe, mesh)
+    unbound = mesh_scoped(probe, None)
+    set_mesh(make_mesh(4, 1))  # some other ambient mesh
+    try:
+        bound(0)
+        unbound(0)
+    finally:
+        set_mesh(None)
+    assert seen[0] is mesh and seen[1] is None

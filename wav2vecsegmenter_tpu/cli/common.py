@@ -255,11 +255,8 @@ def segment_wavs(
     rt = config.get("runtime") or {}
     mesh, n_data, n_model = resolve_mesh(rt.get("mesh"))
     n_devices = n_data  # windows shard over the data axis only
-    # Pallas kernels compose with the mesh via shard_map (ops/shmap.py) —
-    # install the context before the engine's forwards are traced
-    from ..ops.backend import set_mesh
-
-    set_mesh(mesh)
+    # Pallas kernels compose with the mesh via shard_map (ops/shmap.py);
+    # the engine scopes its own mesh context around every jit call
     batch_size = int(config.batch_size)
     if mesh is not None:
         padded = pad_batch_to_devices(batch_size, n_devices)

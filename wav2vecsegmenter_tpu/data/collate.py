@@ -128,15 +128,20 @@ def collate(
             out_mask[:, size2 - 1 :] = False
 
     # CTC targets: encoded transcripts, statically padded to the bucket's
-    # output-frame count (a feasible CTC label sequence can never exceed the
-    # frame count; longer transcripts are truncated — they indicate a window
-    # far too short for its text)
+    # output-frame count.  Each row truncates to ITS OWN logit length
+    # (conv_output_length of the row's real audio, the same arithmetic the
+    # ctc step uses) — capping at the bucket-wide out_len would let a short
+    # row in a long bucket carry U > T labels, an infeasible CTC sequence
+    # whose ~|log_epsilon| loss poisons the batch mean silently (torch
+    # surfaces inf there).  Over-long transcripts indicate a window far too
+    # short for its text; truncation bounds the damage to that row.
     tokens = None
     if transcripts is not None and ctc_vocab is not None:
         tokens = np.full((batch_size, out_len), ctc_vocab.pad_token_id,
                          np.int32)
         for i, text in enumerate(transcripts):
-            ids = ctc_vocab.encode_transcript(text)[:out_len]
+            flen = min(out_len, int(conv_output_length(in_lengths[i])))
+            ids = ctc_vocab.encode_transcript(text)[:flen]
             tokens[i, : len(ids)] = ids
 
     return Batch(audio, in_lengths, target, out_mask, included, starts, ends,

@@ -32,6 +32,25 @@ class SegmentationCorpus:
         # ``tgt_text`` column in segments.tsv carries them (data/prep.py
         # writes it when the MuST-C split has a transcript file)
         self.has_text = "tgt_text" in self.segments_df.columns
+        self._text_index: dict | None = None  # talk_id -> (starts, ends, texts)
+
+    def _talk_text_index(self, talk_id):
+        """Per-talk start-sorted (starts, ends, texts) arrays, built once.
+
+        window_transcript is called for EVERY window at EVERY per-epoch
+        dataset regeneration; a full segments_df boolean scan + sort per
+        call is O(windows x total_segments) pandas work on the host hot
+        path — this groups once and makes each lookup a binary search."""
+        if self._text_index is None:
+            idx = {}
+            cols = self.segments_df.sort_values("start")
+            for tid, g in cols.groupby("talk_id", sort=False):
+                texts = [str(t).strip()
+                         if (isinstance(t, str) or not pd.isna(t)) else ""
+                         for t in g.tgt_text]
+                idx[tid] = (g.start.to_numpy(), g.end.to_numpy(), texts)
+            self._text_index = idx
+        return self._text_index.get(talk_id)
 
     def window_transcript(self, talk_id, start: int, end: int) -> str:
         """Transcript of the window [start, end) in input-space frames:
@@ -40,11 +59,18 @@ class SegmentationCorpus:
         covers audio outside the window and would misalign the CTC targets;
         their in-window audio stays unlabeled (a conservative cost CTC
         absorbs via blanks)."""
-        segs = self.segments_df.loc[self.segments_df.talk_id == talk_id]
-        segs = segs[(segs.start >= start) & (segs.end <= end)]
-        texts = [str(t) for t in segs.sort_values("start").tgt_text
-                 if isinstance(t, str) or not pd.isna(t)]
-        return " ".join(t.strip() for t in texts if t.strip())
+        entry = self._talk_text_index(talk_id)
+        if entry is None:
+            return ""
+        starts, ends, texts = entry
+        lo = int(np.searchsorted(starts, start, side="left"))
+        out = []
+        for i in range(lo, len(starts)):
+            if starts[i] > end:
+                break  # start-sorted: no later segment can be contained
+            if ends[i] <= end and texts[i]:
+                out.append(texts[i])
+        return " ".join(out)
 
     def talk_ids(self) -> list:
         return self.talks_df["id"].tolist()

@@ -34,7 +34,7 @@ class WindowInference:
     def __init__(self, model, params, loss_tag: str = "bce",
                  compute_dtype=jnp.float32, vocab=None,
                  donate: bool = False, mesh=None, loss_fn=None,
-                 quantize: str | None = None):
+                 quantize: str | None = None, param_shardings=None):
         self.model = model
         self.params = params
         self.loss_tag = loss_tag
@@ -43,13 +43,14 @@ class WindowInference:
         self.mesh = mesh
         self.loss_fn = loss_fn  # optional: per-batch eval loss (bce only)
         self._jitted: dict = {}
-        self._param_sh = None
-        if mesh is not None:
-            # Pallas kernels shard over the mesh via shard_map (ops/shmap.py);
-            # the context must be live when _make_forward traces
-            from ..ops.backend import set_mesh
-
-            set_mesh(mesh)
+        # caller-provided param shardings (e.g. the train loop's in-training
+        # eval over FSDP/TP-sharded state.params — the default replicated
+        # in_shardings would reject the committed sharded arrays)
+        self._param_sh = param_shardings
+        # Pallas kernels shard over the mesh via shard_map (ops/shmap.py);
+        # run_batch installs this engine's mesh context (possibly None) at
+        # every call — jit traces at first call, and a process-global
+        # set_mesh here would leak the mesh to unrelated later traces
         if quantize:
             if quantize != "int8":
                 raise ValueError(f"unknown quantize mode '{quantize}' "
@@ -63,12 +64,13 @@ class WindowInference:
             # one-time weight quantization; activations quantize dynamically
             # inside the jitted forward (ops/quant.py)
             self.params = quantize_params(params)
-        if mesh is not None and mesh.shape.get("model", 1) > 1:
+        if (mesh is not None and mesh.shape.get("model", 1) > 1
+                and self._param_sh is None):
             import jax
 
-            from ..parallel.mesh import param_shardings
+            from ..parallel.mesh import param_shardings as _derive_param_sh
 
-            self._param_sh = param_shardings(mesh, params)
+            self._param_sh = _derive_param_sh(mesh, params)
             self.params = jax.device_put(params, self._param_sh)
 
     def _make_forward(self, device_normalize: bool = False):
@@ -184,7 +186,10 @@ class WindowInference:
             arrays = jax.device_put(arrays, shardings)
         else:
             arrays = jax.device_put(arrays)
-        probs, logits = self._jitted[key](self.params, *arrays)
+        from ..ops.backend import ops_mesh
+
+        with ops_mesh(self.mesh):
+            probs, logits = self._jitted[key](self.params, *arrays)
         return probs, logits
 
 

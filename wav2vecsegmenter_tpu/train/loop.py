@@ -169,11 +169,9 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
     mesh, n_data, n_model = resolve_mesh(rt.get("mesh"))
     n_devices = n_data  # batch replication factor = data axis only
     # Pallas kernels compose with the mesh via shard_map (ops/shmap.py:
-    # batch rows over 'data', attention heads over 'model') — install the
-    # context before any jit traces.  Rounds 1-3 forced kernels=xla here.
-    from ..ops.backend import set_mesh
-
-    set_mesh(mesh)
+    # batch rows over 'data', attention heads over 'model'); the step
+    # factories and the engine scope the mesh context around their own jit
+    # calls (rounds 1-3 forced kernels=xla here).
 
     # effective batch = batch_size * n_devices (reference train.py:245)
     effective_batch_size = int(config.batch_size) * max(1, n_devices)
@@ -218,6 +216,14 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
     from ..cli.common import build_model
 
     model, vocab = build_model(config)
+    if is_ctc and not getattr(model, "finetune_wav2vec", True):
+        # the CTC loss depends only on the backbone+lm_head path: with a
+        # frozen backbone, stop_gradient + the trainable mask zero every
+        # gradient the loss produces and the run silently trains NOTHING
+        raise ValueError(
+            "CTC task with finetune_wav2vec=false optimizes nothing "
+            "(the loss never touches a trainable parameter); set "
+            "task.model.finetune_wav2vec=true")
 
     rng = jax.random.PRNGKey(seed)
     params = model.init(rng)
@@ -350,8 +356,15 @@ def train(config: Config, work_dir: str | Path | None = None) -> dict:
         compute_dtype=compute_dtype, vocab=vocab,
         # multi-host: in-training eval must run the same global-mesh SPMD
         # program on every process (params live on the global mesh; an
-        # unannotated jit would guess shardings per process)
-        mesh=mesh if multiprocess else None,
+        # unannotated jit would guess shardings per process).  Tensor
+        # parallelism also needs the mesh: params are model-sharded, so an
+        # unannotated jit would hit the GSPMD-vs-pallas_call partitioner
+        # error (ops/shmap.py docstring); plain single-host data parallel
+        # evals unsharded on device 0.  TP/FSDP eval reuses the train
+        # state's param shardings — the engine's default (replicated)
+        # in_shardings would reject the committed sharded state.params.
+        mesh=mesh if (multiprocess or n_model > 1 or fsdp) else None,
+        param_shardings=(state_sh.params if state_sh is not None else None),
     )
 
     global_step = resume_global_step

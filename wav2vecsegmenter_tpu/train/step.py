@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..ops.backend import mesh_scoped
 from ..parallel.mesh import batch_sharding, replicated
 from .loss import moving_average_jax
 
@@ -109,9 +110,10 @@ def make_accum_flush(optimizer, mesh=None, state_shardings=None):
         rep = replicated(mesh)
         state_sh = (TrainState(rep, rep, rep) if state_shardings is None
                     else state_shardings)
-        return jax.jit(flush, in_shardings=(state_sh,),
-                       out_shardings=state_sh, donate_argnums=(0,))
-    return jax.jit(flush, donate_argnums=(0,))
+        return mesh_scoped(
+            jax.jit(flush, in_shardings=(state_sh,),
+                    out_shardings=state_sh, donate_argnums=(0,)), mesh)
+    return mesh_scoped(jax.jit(flush, donate_argnums=(0,)), mesh)
 
 
 def _mask_updates(mask_tree):
@@ -289,14 +291,14 @@ def make_train_step(model, loss_fn, loss_tag: str, ma_window_steps: int,
         # bce-tag loss still gets pos_weight injected by the train loop
         if dynamic_pos_weight:
             batch_shardings["pos_weight"] = rep
-        return jax.jit(
+        return mesh_scoped(jax.jit(
             step_fn,
             in_shardings=(state_sh, batch_shardings, rep),
             out_shardings=(state_sh, {"loss": rep, "logits": data_sh,
                                       "grad_norm": rep}),
             donate_argnums=(0,),
-        )
-    return jax.jit(step_fn, donate_argnums=(0,))
+        ), mesh)
+    return mesh_scoped(jax.jit(step_fn, donate_argnums=(0,)), mesh)
 
 
 def make_train_multistep(model, loss_fn, loss_tag: str, ma_window_steps: int,
@@ -351,14 +353,14 @@ def make_train_multistep(model, loss_fn, loss_tag: str, ma_window_steps: int,
         # metrics: losses are [K] (replicated); logits stack to [K, B, ...]
         # with the batch on axis 1 — shard that axis like the inputs
         logits_sh = NamedSharding(mesh, P(None, "data"))
-        return jax.jit(
+        return mesh_scoped(jax.jit(
             multi_fn,
             in_shardings=(state_sh, None, rep),
             out_shardings=(state_sh, {"loss": rep, "logits": logits_sh,
                                       "grad_norm": rep}),
             donate_argnums=(0,),
-        )
-    return jax.jit(multi_fn, donate_argnums=(0,))
+        ), mesh)
+    return mesh_scoped(jax.jit(multi_fn, donate_argnums=(0,)), mesh)
 
 
 def init_train_state(model, optimizer, rng, params=None) -> TrainState:
