@@ -16,8 +16,9 @@ over chips with XLA-inserted collectives riding ICI:
   optimizer memory by the model-axis size.  The fused Pallas kernels stay
   active under the mesh: GSPMD cannot auto-partition a Mosaic custom call,
   so the ops wrap their kernels in ``jax.shard_map`` (heads over 'model',
-  batch rows over 'data' — ops/shmap.py) when train/loop.py /
-  cli/common.py install the mesh context via ``ops.backend.set_mesh``.
+  batch rows over 'data' — ops/shmap.py); the step factories and
+  WindowInference scope the mesh context around their own jit calls
+  (``ops.backend.ops_mesh`` / ``mesh_scoped``).
 
 The helpers here also back the multi-chip dry-run path
 (__graft_entry__.dryrun_multichip) and CPU tests with
