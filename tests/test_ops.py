@@ -331,12 +331,17 @@ def test_bias_ln_gelu_fused_matches_xla(rng):
                                    atol=3e-4, rtol=1e-3)
 
 
-def test_conv_bias_ln_gelu_kernel_matches_ref(rng):
+@pytest.mark.parametrize("wide", ["1", "0"])
+def test_conv_bias_ln_gelu_kernel_matches_ref(rng, monkeypatch, wide):
     """Whole-conv-layer fused kernel (tap GEMMs + bias + LN + GELU) vs its
     XLA composition: 1-tap and 2-tap, ragged grids, cross-block halo rows,
-    and gradients (interpret mode)."""
+    and gradients (interpret mode).  ``wide`` toggles the 2-tap kernel
+    between the wide-N single dot (default) and the narrow two-dot A/B
+    fallback; the tiny-ck case is the raw-audio layer's k*c=10 operand
+    (models/wav2vec2.feature_extractor layer-0 fused path)."""
     from wav2vecsegmenter_tpu.ops.convfuse import _fused, _xla_ref
 
+    monkeypatch.setenv("W2VSEG_CONVWIDE", wide)
     ck, o, eps = 32, 16, 1e-5
     cases = [
         (2, 40, 8),   # halo crosses every block boundary
@@ -344,8 +349,11 @@ def test_conv_bias_ln_gelu_kernel_matches_ref(rng):
         (1, 24, 8),   # single-tap (k == s layers)
         (2, 16, 16),  # t_out % block == 0 but tf = t_out+1 needs extra block
         (2, 5, 8),    # single partial block
+        (1, 21, 8, 10),  # tiny-ck single-tap (raw-audio layer, ck=k*c=10)
     ]
-    for n_taps, t_out, block_rows in cases:
+    for case in cases:
+        n_taps, t_out, block_rows = case[:3]
+        ck = case[3] if len(case) > 3 else 32
         tf = t_out + n_taps - 1
         y = jnp.asarray(rng.randn(2, tf, ck).astype(np.float32))
         w_taps = jnp.asarray(rng.randn(n_taps, ck, o).astype(np.float32)

@@ -460,6 +460,28 @@ def feature_extractor(params: dict, audio: jax.Array,
                 layer["ln"]["scale"], layer["ln"]["bias"], t_out,
                 cfg.layer_norm_eps)
             continue
+        if ln_mode and s * x.shape[-1] <= 64 and convfuse_enabled():
+            # raw-audio layer, fused whole-layer: its tap-concat GEMM has a
+            # tiny K (k*c = 10), so the layer is HBM-bound — the separate
+            # GEMM-output write plus the epilogue's read of the ~1 GB
+            # activation are pure bandwidth.  The already-concatenated
+            # [B, T', k*c] operand is single-tap (no halo); ck = k*c equals
+            # the array dim, the other legal Mosaic block shape
+            # (ops/convfuse._kernel_1tap).
+            t_out = t_pads[i] if t_pads[i] is not None else t_real
+            c_in = x.shape[-1]
+            y = _fold_for_taps(x, k, s, t_out, compute_dtype)
+            z = jnp.concatenate(
+                [jax.lax.slice_in_dim(y, p, p + t_out, 1, axis=1)
+                 for p in range(n_taps)], axis=-1)
+            w_full = w.astype(compute_dtype).reshape(k * c_in, -1)
+            if n_taps * s > k:
+                w_full = jnp.pad(
+                    w_full, ((0, (n_taps * s - k) * c_in), (0, 0)))
+            x = conv_bias_ln_gelu(
+                z, w_full[None], layer["b"], layer["ln"]["scale"],
+                layer["ln"]["bias"], t_out, cfg.layer_norm_eps)
+            continue
         x = _strided_conv1d_as_matmul(x, w, s, compute_dtype,
                                       t_out_pad=t_pads[i])
         if ln_mode:

@@ -107,6 +107,40 @@ def _kernel_2tap(ya_ref, yb_ref, w0_ref, w1_ref, cb_ref, sc_ref, bi_ref,
     o_ref[0] = g.astype(o_ref.dtype)
 
 
+def _kernel_2tap_wide(ya_ref, yb_ref, w01_ref, w1_ref, cb_ref, sc_ref,
+                      bi_ref, o_ref, *, eps: float, block_rows: int):
+    """2-tap layer with ONE wide-N dot: ``w01 = [w0 | w1]`` along N.
+
+    Two separate [bt,CK]x[CK,O] dots are MXU issue-limited at N=512
+    (PERF.md: in-kernel N=512 ~36 TF/s vs N=1024 ~186 TF/s VMEM-resident);
+    concatenating the tap weights along the OUTPUT dim doubles N at zero
+    extra FLOPs — unlike the rejected output-grouping, which inflated
+    FLOPs by n_taps*G*s/k.  The tap shift then moves to the dot's f32
+    output: row r needs tap-1 of row r+1, i.e. ``acc = c0 + roll_up(c1)``
+    with the last row's c1 from the halo block's first input row (one
+    8-row dot per block; only row 0 consumed).  Both c slices are at lane
+    512 — whole (8,128)-tile boundaries, not the ~5x-slow sub-tile lane
+    slicing PERF.md warns about — and the roll runs on f32 c1 (Mosaic
+    rejects bf16 dynamic_rotate at this shape)."""
+    a = ya_ref[0]  # [bt, CK]
+    o = o_ref.shape[-1]
+    c = jnp.dot(a, w01_ref[:], preferred_element_type=jnp.float32)  # [bt,2O]
+    c0 = c[:, :o]
+    c1 = c[:, o:]
+    rolled = pltpu.roll(c1, block_rows - 1, 0)  # c1[r+1] lands at row r
+    halo = jnp.dot(yb_ref[0][0:8], w1_ref[:],
+                   preferred_element_type=jnp.float32)[0:1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (block_rows, o), 0)
+    x = c0 + jnp.where(row == block_rows - 1, halo, rolled)
+    x = x + cb_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    ynorm = (x - mean) * jax.lax.rsqrt(var + eps)
+    ynorm = ynorm * sc_ref[:] + bi_ref[:]
+    g = 0.5 * ynorm * (1.0 + _erf_approx(ynorm * (2.0 ** -0.5)))
+    o_ref[0] = g.astype(o_ref.dtype)
+
+
 def _kernel_1tap(ya_ref, w0_ref, cb_ref, sc_ref, bi_ref, o_ref, *,
                  eps: float):
     a = ya_ref[0]
@@ -140,6 +174,20 @@ def _pallas_call(y, w_taps, cbias, scale, bias, eps, t_out, block_rows):
             (1, block_rows, ck),
             lambda bb, i: (bb, jnp.minimum(i + 1, nb_in - 1), 0),
             memory_space=pltpu.VMEM)
+        if os.environ.get("W2VSEG_CONVWIDE", "1") == "1":
+            # wide-N tap dot (see _kernel_2tap_wide); the narrow two-dot
+            # kernel stays behind W2VSEG_CONVWIDE=0 for A/B only
+            w01_spec = pl.BlockSpec((ck, 2 * o), lambda bb, i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+            w01 = jnp.concatenate([w_taps[0], w_taps[1]], axis=1)
+            return pl.pallas_call(
+                functools.partial(_kernel_2tap_wide, eps=eps,
+                                  block_rows=block_rows),
+                out_shape=jax.ShapeDtypeStruct((b, t_out, o), y.dtype),
+                grid=(b, nb_out),
+                in_specs=[y_spec, yb_spec, w01_spec, w_spec, vec, vec, vec],
+                out_specs=out_spec,
+            )(y, y, w01, w_taps[1], cbias, scale, bias)
         return pl.pallas_call(
             functools.partial(_kernel_2tap, eps=eps, block_rows=block_rows),
             out_shape=jax.ShapeDtypeStruct((b, t_out, o), y.dtype),
