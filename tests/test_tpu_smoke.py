@@ -24,8 +24,11 @@ pytestmark = pytest.mark.skipif(
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_on_tpu(body: str, timeout: int = 900) -> str:
+def _run_on_tpu(body: str, timeout: int = 900,
+                extra_env: dict | None = None) -> str:
     env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
     # conftest pinned this process to cpu; the child needs the real TPU
     # platform.  Experimental platforms (e.g. the axon tunnel) are excluded
     # from jax auto-selection, so they must be named explicitly:
@@ -89,17 +92,27 @@ def test_kernels_lower_and_match_on_tpu():
     assert "TPU_KERNEL_SMOKE_OK" in out
 
 
-def test_convfuse_kernel_lowers_and_matches_on_tpu():
-    """Whole-conv-layer fused kernel at the real 512-ch layer geometry
-    (CK=1024, O=512): pltpu.roll + the clamped halo index map + the ragged
-    out grid must survive real Mosaic lowering, not just interpret mode."""
+@pytest.mark.parametrize("convwide", ["1", "0"])
+def test_convfuse_kernel_lowers_and_matches_on_tpu(convwide):
+    """Whole-conv-layer fused kernel on real Mosaic, both default-on paths
+    plus the fallback: the 512-ch geometry (CK=1024, O=512; wide-N and
+    narrow two-dot variants via W2VSEG_CONVWIDE — captured at convfuse
+    import, hence set in the child env) and the tiny-ck raw-audio regime
+    (ck=10 EQUAL to the array dim, the other legal Mosaic block shape,
+    models/wav2vec2.py:463-484).  pltpu.roll + the clamped halo index map +
+    the ragged out grid must survive real lowering, not just interpret
+    mode."""
     out = _run_on_tpu("""
         import numpy as np, jax, jax.numpy as jnp
         assert jax.default_backend() == "tpu", jax.default_backend()
         from wav2vecsegmenter_tpu.ops.convfuse import _fused, _xla_ref
         rng = np.random.RandomState(1)
-        ck, o, eps = 1024, 512, 1e-5
-        for n_taps, t_out in ((2, 999), (1, 1000)):
+        eps = 1e-5
+        # (ck, o, n_taps, t_out): 512-ch 2-tap + 1-tap, then the tiny-ck
+        # raw-audio regime (k*c=10 -> ck equals the array dim)
+        for ck, o, n_taps, t_out in ((1024, 512, 2, 999),
+                                     (1024, 512, 1, 1000),
+                                     (10, 512, 1, 1000)):
             tf = t_out + n_taps - 1
             y = jax.device_put(
                 (rng.randn(2, tf, ck) * 0.1).astype(np.float32))
@@ -113,7 +126,7 @@ def test_convfuse_kernel_lowers_and_matches_on_tpu():
                 lambda y, w, cb, s, b: _fused(y, w, cb, s, b, eps, t_out,
                                               512))(y, w, cb, s, b))
             np.testing.assert_allclose(got, want, atol=5e-3,
-                                       err_msg=str((n_taps, t_out)))
+                                       err_msg=str((ck, n_taps, t_out)))
         print("TPU_CONVFUSE_SMOKE_OK")
-    """)
+    """, extra_env={"W2VSEG_CONVWIDE": convwide})
     assert "TPU_CONVFUSE_SMOKE_OK" in out

@@ -140,7 +140,11 @@ def collate(
         tokens = np.full((batch_size, out_len), ctc_vocab.pad_token_id,
                          np.int32)
         for i, text in enumerate(transcripts):
-            flen = min(out_len, int(conv_output_length(in_lengths[i])))
+            # clamp at 0: a window shorter than the conv receptive field
+            # (~400 samples) yields a negative conv_output_length, and a
+            # negative flen would slice labels off the END instead of
+            # truncating to empty — recreating the U > T infeasible row
+            flen = max(0, min(out_len, int(conv_output_length(in_lengths[i]))))
             ids = ctc_vocab.encode_transcript(text)[:flen]
             tokens[i, : len(ids)] = ids
 

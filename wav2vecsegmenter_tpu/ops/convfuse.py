@@ -14,9 +14,21 @@ accumulation, applies bias + LayerNorm + exact GELU on the VPU, and
 writes the bf16 output block — HBM traffic drops from ~3 reads + 2
 writes to 1 read + 1 write of the layer's activations.
 
-Only used for layers whose folded channel depth is MXU-deep (s*C >= 128
-— the 512-ch layers; the raw-audio layer keeps the tap-concat GEMM) and
-n_taps <= 2 (every wav2vec2 layer: k=3/s=2 -> 2, k=2/s=2 -> 1).
+Two regimes are fused (both default-on, models/wav2vec2.py:446-484):
+
+* **Wide layers** (s*C % 128 == 0, n_taps <= 2 — the 512-ch layers,
+  folded depth 1024): tap dots run in-kernel over the folded input, by
+  default as ONE wide-N dot over ``[w0 | w1]`` (`_kernel_2tap_wide`);
+  ``W2VSEG_CONVWIDE=0`` selects the narrow two-dot variant for A/B.
+* **Tiny-ck raw-audio layer** (k*c = 10): the caller pre-concatenates
+  the taps into a single [B, T', k*c] operand and the kernel runs the
+  1-tap path with ck EQUAL to the array dim (the other legal Mosaic
+  block shape) — the win there is purely the saved GEMM-output write +
+  epilogue read of the ~1 GB activation.
+
+The ``W2VSEG_CONVWIDE`` flag is captured ONCE at import (module constant
+``_CONVWIDE``); like ``W2VSEG_CONVFUSE`` it cannot retoggle an already
+jit-traced program — A/B runs need a fresh process per arm.
 
 The tap-1 shifted operand is built WITHOUT sublane-misaligned slicing
 (Mosaic relayouts) via ``pltpu.roll`` + a one-row iota select from the
@@ -45,6 +57,11 @@ from .backend import get_backend
 from .layernorm import _bln_gelu_xla, _erf_approx
 
 _EPS = 1e-5
+
+# Captured at import: toggling mid-process cannot affect jit-cached programs
+# anyway (the read happens at trace time), so make the capture explicit —
+# A/B runs (scripts/bench_convfuse_ab.py) use a fresh process per arm.
+_CONVWIDE = os.environ.get("W2VSEG_CONVWIDE", "1") == "1"
 
 
 def convfuse_enabled() -> bool:
@@ -174,7 +191,7 @@ def _pallas_call(y, w_taps, cbias, scale, bias, eps, t_out, block_rows):
             (1, block_rows, ck),
             lambda bb, i: (bb, jnp.minimum(i + 1, nb_in - 1), 0),
             memory_space=pltpu.VMEM)
-        if os.environ.get("W2VSEG_CONVWIDE", "1") == "1":
+        if _CONVWIDE:
             # wide-N tap dot (see _kernel_2tap_wide); the narrow two-dot
             # kernel stays behind W2VSEG_CONVWIDE=0 for A/B only
             w01_spec = pl.BlockSpec((ck, 2 * o), lambda bb, i: (0, 0),
