@@ -258,6 +258,31 @@ def bench_online() -> None:
           file=sys.stderr)
 
 
+def _device_busy_seconds(trace_dir: Path) -> float:
+    """Sum of the serialized "XLA Ops" timeline on /device:TPU:0 from an
+    xplane trace — the device-time companion to the wall clock.  The axon
+    tunnel's wall variance is +-15% within minutes (PERF.md: the same sweep
+    measured 1.99 and 4.06 s), so the wall-derived headline can erase real
+    device-side wins behind channel weather; this number cannot.  Parsing
+    recipe per CLAUDE.md (the tensorboard-plugin-profile converters are
+    broken on this rig): python-impl protobufs + xplane_pb2 directly; the
+    "XLA Ops" line is the serialized compute timeline (other lines are
+    async DMA that overlaps it)."""
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    pb = sorted(Path(trace_dir).rglob("*.xplane.pb"))[-1]
+    sp = xplane_pb2.XSpace()
+    sp.ParseFromString(pb.read_bytes())
+    for plane in sp.planes:
+        if "TPU:0" not in plane.name:
+            continue
+        for line in plane.lines:
+            if line.name == "XLA Ops":
+                return sum(e.duration_ps for e in line.events) / 1e12
+    return 0.0
+
+
 def _stage(msg: str) -> None:
     """Stage progress to stderr (timestamped): a wedged-tunnel run must be
     attributable to a stage, not a silent timeout (2026-08-19 incident)."""
@@ -468,6 +493,25 @@ def main() -> None:
             _stage(f"pass {len(walls)}/{n_passes}: {walls[-1]:.2f}s")
         wall = min(walls)
 
+        # device-time companion (VERDICT r4 weak #1): one traced pass, sum
+        # the XLA Ops line.  device_xrt tracks device work only — immune to
+        # the tunnel's +-15% wall phase noise that put BENCH_r04's wall
+        # headline (613x) below the builder's same-day 707x.
+        device_xrt = None
+        if on_tpu:
+            _stage("traced pass (device_xrt)")
+            try:
+                trace_dir = Path(td) / "bench_trace"
+                with jax.profiler.trace(str(trace_dir)):
+                    run_once()
+                busy = _device_busy_seconds(trace_dir)
+                if busy > 0:
+                    device_xrt = total_secs / busy
+                _stage(f"device busy {busy:.2f}s -> device_xrt "
+                       f"{device_xrt or 0:.0f}")
+            except Exception as e:  # never fail the recorded bench on trace
+                print(f"# device_xrt trace failed: {e!r}", file=sys.stderr)
+
         # companion number: single last talk, single pass (the steady-state
         # per-talk rate with no cross-talk tail or multi-pass re-dispatch) —
         # recorded alongside the honest sweep headline.  Skipped in
@@ -497,6 +541,10 @@ def main() -> None:
         "value": round(xrt, 2),
         "unit": f"audio-sec/sec (x realtime, {workload})",
         "vs_baseline": round(xrt / target, 3),
+        # device-time xRT (audio-secs / summed XLA-Ops device time, one
+        # traced pass): the phase-noise-proof companion — wall noise on the
+        # tunnel is +-15%, device time is stable.  null off-TPU/on failure.
+        "device_xrt": round(device_xrt, 2) if device_xrt else None,
         "single_talk_xrt_1pass": round(single_xrt, 2),
         # best-of-N is the headline (sustained rate on a noisy tunnel);
         # the median bounds how cherry-picked it is (VERDICT r3 weak #7)
