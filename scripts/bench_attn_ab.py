@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""A/B: the 24-layer encoder with the packed-layout attention kernel
+(attention_packed, W2VSEG_ATTNPACK=1) vs the legacy [B,T,3,H,D]->[B,H,T,D]
+relayout + [B,H,T,D] kernel path.
+
+Times the FULL encoder scan at production geometry ([16, 999, 1024], bf16)
+— not the FFN op standalone — because v5e's VMEM pinning makes standalone
+GEMM microbenches meaningless here (PERF.md: the same shapes do 39 vs
+190 TF/s depending on residency).  Methodology per CLAUDE.md: data generated
+on device, REPS loops in ONE jit via lax.scan, numerics cross-checked first.
+
+Run on TPU: timeout 580 python -u scripts/bench_attn_ab.py
+Optional: PROFILE_DIR=/tmp/attnab dumps an xplane trace per arm.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REPS = int(os.environ.get("REPS", 20))
+BATCH = int(os.environ.get("BATCH", 16))
+T = int(os.environ.get("T", 999))
+
+
+def main():
+    from wav2vecsegmenter_tpu.core.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vecsegmenter_tpu.models.wav2vec2 import (
+        Wav2Vec2Config, encoder, init_wav2vec2_params)
+    from wav2vecsegmenter_tpu.ops.backend import set_backend
+
+    on_tpu = jax.default_backend() == "tpu"
+    dt = jnp.bfloat16 if on_tpu else jnp.float32
+    if on_tpu:
+        set_backend("pallas")
+    cfg = Wav2Vec2Config()
+
+    # init params ON DEVICE in one jit (eager init through the tunnel is
+    # minutes of per-op round trips)
+    params = jax.jit(init_wav2vec2_params, static_argnums=(1,))(
+        jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, T, cfg.hidden_size),
+                          jnp.float32) * 0.3
+    frame_mask = jnp.ones((BATCH, T), bool)
+
+    def make_loop():
+        def run(x0):
+            def body(carry, _):
+                h = encoder(params, x0 + carry, frame_mask, cfg,
+                            deterministic=True, compute_dtype=dt)
+                return (jnp.float32(0.0) * h[0, 0, 0].astype(jnp.float32),
+                        None)
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=REPS)
+            return c
+        return jax.jit(run)
+
+    profile_dir = os.environ.get("PROFILE_DIR")
+    results = {}
+    outs = {}
+    for name, flag in (("relayout", "0"), ("attnpack", "1")):
+        os.environ["W2VSEG_ATTNPACK"] = flag
+        print(f"{name}: compiling single forward (numerics)...", flush=True)
+        enc = jax.jit(lambda p, a: encoder(p, a, frame_mask, cfg,
+                                           deterministic=True,
+                                           compute_dtype=dt))
+        outs[name] = np.asarray(enc(params, x), np.float32)
+        fn = make_loop()
+        t0 = time.time()
+        np.asarray(fn(x))
+        t1 = time.time()
+        walls = []
+        for _ in range(3):
+            s = time.time()
+            np.asarray(fn(x))
+            walls.append(time.time() - s)
+        best = min(walls)
+        results[name] = best / REPS * 1e3
+        print(f"{name}: compile+first {t1 - t0:.1f}s, best "
+              f"{best:.3f}s/{REPS} reps = {results[name]:.2f} ms/batch "
+              f"({results[name] / cfg.num_layers:.2f} ms/layer)", flush=True)
+        if profile_dir:
+            d = os.path.join(profile_dir, name.replace("+", "_"))
+            with jax.profiler.trace(d):
+                np.asarray(fn(x))
+
+    a, b = outs["relayout"], outs["attnpack"]
+    d = np.abs(a - b)
+    scale = np.abs(a).mean() + 1e-9
+    print(f"numerics: max|d|={d.max():.3e} mean|d|={d.mean():.3e} "
+          f"rel(mean-scale)={d.max() / scale:.3e}", flush=True)
+    print(f"speedup: {results['relayout'] / results['attnpack']:.3f}x "
+          f"({results['relayout']:.2f} -> {results['attnpack']:.2f} "
+          f"ms/batch)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -185,3 +185,39 @@ def test_batch_loss_means_over_real_rows():
     # exact-fit batch defines the reference value; padded slot counts match
     assert losses[4] == pytest.approx(losses[3], rel=1e-5)
     assert losses[8] == pytest.approx(losses[3], rel=1e-5)
+
+
+def test_precision_ladder_arms_match_f32_baseline():
+    """runtime.precision arms (PARITY.md ladder): at f32 compute every arm's
+    extra casts are identities and the f32last split only reshapes the scan,
+    so ALL arms must reproduce the bf16-arm (here f32) numbers exactly —
+    this pins the ladder plumbing (head_dtype / residual_dtype / f32_last_k
+    through SHAS.apply and the encoder scan split) without TPU hardware."""
+    from wav2vecsegmenter_tpu.infer.pipeline import resolve_precision
+
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    examples = [(rng.randn(16000).astype(np.float32) * 0.1, None, 0, 50)]
+    batch = collate(examples, 2, 16000, 50)
+
+    base = None
+    for arm in ("bf16", "f32head", "f32res", "f32last1", "f32"):
+        engine = WindowInference(model, params, precision=arm)
+        probs, _ = engine.run_batch(batch)
+        probs = np.asarray(probs)
+        if base is None:
+            base = probs
+        else:
+            np.testing.assert_allclose(probs, base, atol=1e-6, err_msg=arm)
+
+    # resolver contract
+    import jax.numpy as jnp
+    dt, kw = resolve_precision("f32last4", jnp.bfloat16)
+    assert dt == jnp.bfloat16 and kw == {
+        "head_dtype": jnp.float32, "residual_dtype": jnp.float32,
+        "f32_last_k": 4}
+    assert resolve_precision("f32", jnp.bfloat16) == (jnp.float32, {})
+    assert resolve_precision(None, jnp.bfloat16) == (jnp.bfloat16, {})
+    with pytest.raises(ValueError):
+        resolve_precision("f16", jnp.bfloat16)

@@ -1,5 +1,7 @@
 """Pallas kernels vs XLA reference paths (interpret mode on CPU)."""
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -636,3 +638,216 @@ def test_ops_mesh_context_scoped_and_restored(rng):
     finally:
         set_mesh(None)
     assert seen[0] is mesh and seen[1] is None
+
+
+# ---------------------------------------------------------------------------
+# fused FFN kernel (ops/ffn.py)
+# ---------------------------------------------------------------------------
+
+def test_ffn_fused_matches_xla(rng):
+    """Fused w1+bias+GELU+w2+bias kernel vs the unfused XLA composition,
+    forward and gradients, incl. a ragged final row block (t % block != 0)."""
+    from wav2vecsegmenter_tpu.ops.ffn import _ffn_fused, ffn_xla
+
+    b, h, f = 2, 64, 160
+    for t, block_rows in ((48, 16), (41, 16), (7, 8)):
+        x = jnp.asarray(rng.randn(b, t, h).astype(np.float32) * 0.3)
+        w1 = jnp.asarray(rng.randn(h, f).astype(np.float32) * 0.1)
+        b1 = jnp.asarray(rng.randn(f).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.randn(f, h).astype(np.float32) * 0.1)
+        b2 = jnp.asarray(rng.randn(h).astype(np.float32) * 0.1)
+        want = ffn_xla(x, w1, b1, w2, b2)
+        with pltpu.force_tpu_interpret_mode():
+            got = _ffn_fused(x, w1, b1, w2, b2, block_rows)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, err_msg=str((t, block_rows)))
+
+        def loss_fused(x, w1, b1, w2, b2, block_rows=block_rows):
+            with pltpu.force_tpu_interpret_mode():
+                return (_ffn_fused(x, w1, b1, w2, b2, block_rows) ** 2).sum()
+
+        def loss_ref(x, w1, b1, w2, b2):
+            return (ffn_xla(x, w1, b1, w2, b2) ** 2).sum()
+
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+            x, w1, b1, w2, b2)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+            x, w1, b1, w2, b2)
+        for a, b_ in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=3e-4, rtol=1e-3)
+
+
+def test_shard_map_ffn_matches_unsharded(rng, mesh_ctx):
+    """Fused FFN under an active (data=2, model=2) mesh: rows shard over
+    'data', the inner dim Megatron-shards over 'model' (w1 cols / b1 /
+    w2 rows + one psum, b2 added once) — must match the unsharded XLA
+    composition, forward and gradients."""
+    from wav2vecsegmenter_tpu.ops.ffn import ffn, ffn_xla
+    from wav2vecsegmenter_tpu.ops import backend as backend_mod
+
+    b, t, h, f = 4, 24, 32, 64
+    x = jnp.asarray(rng.randn(b, t, h).astype(np.float32) * 0.3)
+    w1 = jnp.asarray(rng.randn(h, f).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.randn(f).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(f, h).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.randn(h).astype(np.float32) * 0.1)
+
+    want = ffn_xla(x, w1, b1, w2, b2)
+    backend_mod.set_backend("pallas")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.jit(functools.partial(ffn, block_rows=8))(
+                x, w1, b1, w2, b2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+        def loss_sharded(x, w1, b1, w2, b2):
+            with pltpu.force_tpu_interpret_mode():
+                return (ffn(x, w1, b1, w2, b2, block_rows=8) ** 2).sum()
+
+        def loss_ref(x, w1, b1, w2, b2):
+            return (ffn_xla(x, w1, b1, w2, b2) ** 2).sum()
+
+        g_s = jax.grad(loss_sharded, argnums=(0, 1, 2, 3, 4))(
+            x, w1, b1, w2, b2)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+        for a, b_ in zip(g_s, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=3e-4, rtol=1e-3)
+    finally:
+        backend_mod.set_backend("auto")
+
+
+# ---------------------------------------------------------------------------
+# packed-layout attention kernel (attention_packed)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("num_heads,d", [(4, 64), (2, 128)])
+def test_attention_packed_matches_xla(rng, num_heads, d):
+    """Packed kernel straight off the QKV GEMM layout [B, T, 3H]: the d=64
+    head-PAIR case (zero-masked 128-lane contractions) and the d=128
+    one-head-per-block case, vs the reference computed from the unpacked
+    q/k/v — forward and gradients, with padded keys."""
+    from wav2vecsegmenter_tpu.ops import backend as backend_mod
+    from wav2vecsegmenter_tpu.ops.attention import (
+        attention_packed, attention_xla)
+
+    b, t = 2, 37
+    h = num_heads * d
+    proj = jnp.asarray(rng.randn(b, t, 3 * h).astype(np.float32))
+    lens = np.array([t, 23])
+    mask = jnp.asarray(np.arange(t)[None, :] < lens[:, None])
+    scale = d ** -0.5
+
+    def ref(proj):
+        qkv = proj.reshape(b, t, 3, num_heads, d).transpose(2, 0, 3, 1, 4)
+        out = attention_xla(qkv[0], qkv[1], qkv[2], mask, scale)
+        return out.transpose(0, 2, 1, 3).reshape(b, t, h)
+
+    want = ref(proj)
+    backend_mod.set_backend("pallas")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.jit(lambda p: attention_packed(p, mask, num_heads,
+                                                     scale))(proj)
+        m = np.asarray(mask)
+        for i in range(b):
+            np.testing.assert_allclose(np.asarray(got)[i, m[i]],
+                                       np.asarray(want)[i, m[i]], atol=2e-5)
+
+        # gradients (the custom_vjp backward routes through the legacy
+        # [B,H,T,D] kernel + relayout transposes)
+        cot = jnp.asarray(rng.randn(b, t, h).astype(np.float32))
+        cot = cot * mask[:, :, None]  # padded query rows carry no cotangent
+
+        def loss_packed(p):
+            return jnp.sum(attention_packed(p, mask, num_heads, scale) * cot)
+
+        def loss_ref(p):
+            return jnp.sum(ref(p) * cot)
+
+        # grad under the interpret context: the custom_vjp backward is
+        # itself a pallas kernel and traces at grad time
+        with pltpu.force_tpu_interpret_mode():
+            g_p = jax.grad(loss_packed)(proj)
+        g_r = jax.grad(loss_ref)(proj)
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
+                                   atol=3e-4, rtol=1e-3)
+    finally:
+        backend_mod.set_backend("auto")
+
+
+def test_attention_packed_fallbacks(rng):
+    """Geometry without 128-lane head blocks (d=32) and a model-axis mesh
+    both fall back to the legacy path — same numbers either way."""
+    from wav2vecsegmenter_tpu.ops import backend as backend_mod
+    from wav2vecsegmenter_tpu.ops.attention import (
+        attention_packed, attention_xla)
+    from wav2vecsegmenter_tpu.parallel.mesh import make_mesh
+
+    b, t, num_heads, d = 2, 16, 4, 32
+    h = num_heads * d
+    proj = jnp.asarray(rng.randn(b, t, 3 * h).astype(np.float32))
+    mask = jnp.asarray(np.ones((b, t), bool))
+    scale = d ** -0.5
+    qkv = proj.reshape(b, t, 3, num_heads, d).transpose(2, 0, 3, 1, 4)
+    want = attention_xla(qkv[0], qkv[1], qkv[2], mask, scale)
+    want = want.transpose(0, 2, 1, 3).reshape(b, t, h)
+
+    backend_mod.set_backend("pallas")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = attention_packed(proj, mask, num_heads, scale)  # d=32
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+        # model-axis mesh: packed layout can't shard heads on the last dim,
+        # must route through the legacy shard_attention path
+        backend_mod.set_mesh(make_mesh(2, 2))
+        try:
+            proj2 = jnp.asarray(rng.randn(b, t, 3 * 256).astype(np.float32))
+            qkv2 = proj2.reshape(b, t, 3, 4, 64).transpose(2, 0, 3, 1, 4)
+            want2 = attention_xla(qkv2[0], qkv2[1], qkv2[2], mask, 64**-0.5)
+            want2 = want2.transpose(0, 2, 1, 3).reshape(b, t, 256)
+            with pltpu.force_tpu_interpret_mode():
+                got2 = jax.jit(lambda p: attention_packed(p, mask, 4,
+                                                          64 ** -0.5))(proj2)
+            np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                                       atol=2e-5)
+        finally:
+            backend_mod.set_mesh(None)
+    finally:
+        backend_mod.set_backend("auto")
+
+
+def test_attention_packed_data_mesh_matches(rng):
+    """Packed kernel under a data-only mesh shard_maps batch rows (proj AND
+    its per-batch key bias) over 'data'."""
+    from wav2vecsegmenter_tpu.ops import backend as backend_mod
+    from wav2vecsegmenter_tpu.ops.attention import (
+        attention_packed, attention_xla)
+    from wav2vecsegmenter_tpu.parallel.mesh import make_mesh
+
+    b, t, num_heads, d = 4, 24, 2, 64
+    h = num_heads * d
+    proj = jnp.asarray(rng.randn(b, t, 3 * h).astype(np.float32))
+    lens = np.array([24, 10, 24, 17])
+    mask = jnp.asarray(np.arange(t)[None, :] < lens[:, None])
+    scale = d ** -0.5
+    qkv = proj.reshape(b, t, 3, num_heads, d).transpose(2, 0, 3, 1, 4)
+    want = attention_xla(qkv[0], qkv[1], qkv[2], mask, scale)
+    want = want.transpose(0, 2, 1, 3).reshape(b, t, h)
+
+    backend_mod.set_backend("pallas")
+    backend_mod.set_mesh(make_mesh(4, 1))
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.jit(lambda p: attention_packed(p, mask, num_heads,
+                                                     scale))(proj)
+        m = np.asarray(mask)
+        for i in range(b):
+            np.testing.assert_allclose(np.asarray(got)[i, m[i]],
+                                       np.asarray(want)[i, m[i]], atol=2e-5)
+    finally:
+        backend_mod.set_mesh(None)
+        backend_mod.set_backend("auto")

@@ -269,7 +269,7 @@ def segment_wavs(
         engine = WindowInference(
             model, params, loss_tag=config.task.loss.tag,
             compute_dtype=compute_dtype, vocab=vocab, mesh=mesh,
-            quantize=rt.get("quantize"),
+            quantize=rt.get("quantize"), precision=rt.get("precision"),
         )
     algo_conf = to_plain(config.algorithm)
     tag = algo_conf.pop("tag")

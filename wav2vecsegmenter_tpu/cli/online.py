@@ -73,6 +73,7 @@ def _run_job(overrides: list[str], multirun: bool) -> list[dict]:
         model, params, loss_tag=config.task.loss.tag,
         compute_dtype=compute_dtype, vocab=vocab,
         quantize=(config.get("runtime") or {}).get("quantize"),
+        precision=(config.get("runtime") or {}).get("precision"),
     )
 
     algo_conf = to_plain(config.algorithm)

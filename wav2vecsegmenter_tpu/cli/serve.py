@@ -42,6 +42,7 @@ def build_server(config) -> SegmentationServer:
         model, params, loss_tag=config.task.loss.tag,
         compute_dtype=compute_dtype, vocab=vocab,
         quantize=(config.get("runtime") or {}).get("quantize"),
+        precision=(config.get("runtime") or {}).get("precision"),
     )
 
     algo_conf = to_plain(config.algorithm)

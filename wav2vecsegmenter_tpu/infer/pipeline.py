@@ -19,6 +19,38 @@ import numpy as np
 
 from ..data.collate import Batch
 
+# runtime.precision ladder: CUMULATIVE arms between bf16 and f32, trading
+# xRT for near-threshold probability fidelity (the bf16 production path
+# deviates mean 2.7e-3 / p99 0.055 per-frame probability from the f32
+# oracle and can flip individual pDAC splits — PARITY.md).  Measured per
+# arm by scripts/parity_tpu_fullgeom.py.
+#   bf16      — everything in bf16 (default on TPU)
+#   f32head   — + SFC classifier head in f32
+#   f32res    — + encoder residual stream & LayerNorms in f32
+#   f32lastK  — + last K encoder layers entirely f32 (e.g. f32last4)
+#   f32       — everything f32 (the oracle, ~full-model cost)
+PRECISION_ARMS = ("bf16", "f32head", "f32res", "f32last4", "f32")
+
+
+def resolve_precision(precision: str | None, compute_dtype):
+    """(compute_dtype, model.apply kwargs) for a runtime.precision value."""
+    if not precision or precision == "bf16":
+        return compute_dtype, {}
+    if precision == "f32":
+        return jnp.float32, {}
+    kwargs: dict = {"head_dtype": jnp.float32}
+    if precision == "f32head":
+        return compute_dtype, kwargs
+    kwargs["residual_dtype"] = jnp.float32
+    if precision == "f32res":
+        return compute_dtype, kwargs
+    if precision.startswith("f32last"):
+        kwargs["f32_last_k"] = int(precision[len("f32last"):])
+        return compute_dtype, kwargs
+    raise ValueError(
+        f"unknown runtime.precision '{precision}' "
+        f"(expected one of {PRECISION_ARMS}, f32last<k> for any k)")
+
 
 class WindowInference:
     """Holds jitted forward functions keyed by batch shape.
@@ -34,11 +66,16 @@ class WindowInference:
     def __init__(self, model, params, loss_tag: str = "bce",
                  compute_dtype=jnp.float32, vocab=None,
                  donate: bool = False, mesh=None, loss_fn=None,
-                 quantize: str | None = None, param_shardings=None):
+                 quantize: str | None = None, param_shardings=None,
+                 precision: str | None = None):
         self.model = model
         self.params = params
         self.loss_tag = loss_tag
         self.compute_dtype = compute_dtype
+        # mixed-precision ladder (runtime.precision, PARITY.md): cumulative
+        # arms trading xRT for near-threshold probability fidelity
+        self.compute_dtype, self.precision_kwargs = resolve_precision(
+            precision, compute_dtype)
         self.vocab = vocab
         self.mesh = mesh
         self.loss_fn = loss_fn  # optional: per-batch eval loss (bce only)
@@ -109,6 +146,7 @@ class WindowInference:
             logits = model.apply(
                 params, audio, in_lengths, out_mask,
                 deterministic=True, compute_dtype=compute_dtype,
+                **self.precision_kwargs,
             )
             if isinstance(logits, tuple):  # SSL variant: (ctc, frame)
                 logits = logits[1]

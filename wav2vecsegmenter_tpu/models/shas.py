@@ -96,12 +96,20 @@ class SHAS:
         deterministic: bool = True,
         rng: jax.Array | None = None,
         compute_dtype=jnp.float32,
+        head_dtype=None,
+        residual_dtype=None,
+        f32_last_k: int = 0,
     ) -> jax.Array:
         """Returns frame logits [B, T_out] aligned to out_mask.
 
         The +-1 frame mismatch between the conv stack's true output length
         and the 49.95 Hz estimate (reference lib/models.py:222-232) is
         resolved with static-shape slicing/padding.
+
+        ``head_dtype`` / ``residual_dtype`` / ``f32_last_k`` are the
+        mixed-precision ladder knobs (runtime.precision, PARITY.md): SFC
+        head dtype, encoder residual-stream/LN dtype, and the number of
+        final encoder layers run fully in f32.
         """
         rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
         h, frame_mask = wav2vec2_forward(
@@ -115,6 +123,7 @@ class SHAS:
                 if self.finetune_wav2vec else 0),
             freeze_ffn=(
                 self.finetune_wav2vec and not self.finetune_w2v_ffn),
+            residual_dtype=residual_dtype, f32_last_k=f32_last_k,
         )
         if not self.finetune_wav2vec:
             # frozen backbone: requires_grad=False equivalent — skips the
@@ -132,7 +141,7 @@ class SHAS:
         logits = sfc_forward(
             params["seg"], h, out_mask, self.n_enc_heads,
             dropout=self.init_dropout, deterministic=deterministic,
-            rng=rngs[1], compute_dtype=compute_dtype,
+            rng=rngs[1], compute_dtype=head_dtype or compute_dtype,
         )
         return logits
 

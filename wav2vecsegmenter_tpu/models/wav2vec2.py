@@ -28,8 +28,10 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import attention
+from ..ops.attention import attention_packed
+from ..ops.backend import get_backend
 from ..ops.convfuse import conv_bias_ln_gelu, convfuse_enabled
+from ..ops.ffn import ffn, ffnfuse_enabled
 from ..ops.layernorm import bias_layer_norm_gelu, layer_norm
 
 
@@ -553,6 +555,32 @@ def _lin(lin: dict, x: jax.Array, compute_dtype) -> jax.Array:
     return y + lin["b"].astype(compute_dtype)
 
 
+def _ffn_block(ffn_params: dict, x: jax.Array, deterministic: bool,
+               rng_act, rng_hid, cfg: Wav2Vec2Config,
+               compute_dtype) -> jax.Array:
+    """FFN sub-block: w1 -> GELU -> (activation dropout) -> w2 -> (hidden
+    dropout).  On TPU the whole chain runs as ONE Pallas kernel (ops/ffn.py)
+    whenever the between-GEMM activation dropout is a no-op (inference, or
+    activation_dropout == 0 — true for xls-r, the production checkpoint);
+    otherwise (CPU parity paths, int8 weights, active activation-dropout)
+    the separate-GEMM composition with the materialized-GELU barrier."""
+    act_noop = (deterministic or cfg.activation_dropout == 0.0
+                or rng_act is None)
+    if (act_noop and "qw" not in ffn_params["w1"]
+            and get_backend() == "pallas" and ffnfuse_enabled()):
+        f = ffn(x, ffn_params["w1"]["w"], ffn_params["w1"]["b"],
+                ffn_params["w2"]["w"], ffn_params["w2"]["b"])
+    else:
+        f = _lin(ffn_params["w1"], x, compute_dtype)
+        f = _gelu(f)
+        # materialize the GELU output: as a w2-GEMM operand fusion it
+        # drags that GEMM from ~190 to ~81 TF/s on v5e (profiled)
+        f = jax.lax.optimization_barrier(f)
+        f = _dropout(f, cfg.activation_dropout, deterministic, rng_act)
+        f = _lin(ffn_params["w2"], f, compute_dtype)
+    return _dropout(f, cfg.hidden_dropout, deterministic, rng_hid)
+
+
 def _mha(layer_attn: dict, x: jax.Array, key_mask: jax.Array | None,
          num_heads: int, deterministic: bool, rng, attn_dropout: float,
          compute_dtype, apply_prob_dropout: bool = False) -> jax.Array:
@@ -582,11 +610,6 @@ def _mha(layer_attn: dict, x: jax.Array, key_mask: jax.Array | None,
             [layer_attn[n]["w"] for n in ("q", "k", "v")], axis=1
         ).astype(compute_dtype)
         proj = xc @ wqkv + bqkv
-    qkv = proj.reshape(b, t, 3, num_heads, d)
-    # one packed relayout to [3, B, H, T, D]; the per-tensor slices below are
-    # then layout-preserving bitcasts instead of three separate copies
-    qkv = qkv.transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]
     if (apply_prob_dropout and not deterministic and attn_dropout > 0.0
             and rng is not None):
         # explicit-softmax path with attention-prob dropout (HF semantics);
@@ -594,6 +617,8 @@ def _mha(layer_attn: dict, x: jax.Array, key_mask: jax.Array | None,
         # scripts/measure_attn_dropout.py quantifies the difference
         from ..ops.attention import NEG_INF
 
+        qkv = proj.reshape(b, t, 3, num_heads, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
         scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * d**-0.5,
                             k.astype(jnp.float32))
         if key_mask is not None:
@@ -602,17 +627,21 @@ def _mha(layer_attn: dict, x: jax.Array, key_mask: jax.Array | None,
         keep = jax.random.bernoulli(rng, 1.0 - attn_dropout, probs.shape)
         probs = jnp.where(keep, probs / (1.0 - attn_dropout), 0.0)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, h)
     else:
+        # packed-layout attention straight off the QKV GEMM output — on TPU
+        # this skips the [B,T,3,H,D]->[B,H,T,D] head relayout entirely
+        # (0.79-0.93 ms/layer of pure HBM copies at production geometry);
         # (attention-prob dropout omitted under the fused kernel — PARITY.md)
-        out = attention(q, k, v, key_mask, scale=d ** -0.5)
-    out = out.transpose(0, 2, 1, 3).reshape(b, t, h)
+        out = attention_packed(proj, key_mask, num_heads, d ** -0.5)
     return _lin(layer_attn["o"], out, compute_dtype)
 
 
 def encoder(params: dict, x: jax.Array, frame_mask: jax.Array,
             cfg: Wav2Vec2Config, *, deterministic=True, rng=None,
             compute_dtype=jnp.float32, n_frozen_layers: int = 0,
-            freeze_ffn: bool = False) -> jax.Array:
+            freeze_ffn: bool = False, residual_dtype=None,
+            f32_last_k: int = 0) -> jax.Array:
     """Transformer encoder over extracted features.
 
     x [B, T, H], frame_mask [B, T] bool.  Final encoder LayerNorm is NOT
@@ -623,6 +652,11 @@ def encoder(params: dict, x: jax.Array, frame_mask: jax.Array,
     reference's LNA freezing (lib/models.py:358-365).  Activations still
     backprop through frozen layers (pos_conv below them stays trainable),
     but their weight-gradient matmuls are never emitted.
+
+    Mixed-precision ladder knobs (PARITY.md "precision ladder"):
+    ``residual_dtype`` keeps the residual stream + LayerNorms at a higher
+    dtype than the GEMM/attention compute; ``f32_last_k`` runs the last k
+    layers entirely in f32 (inference only — rejects freeze splits).
     """
     eps = cfg.layer_norm_eps
     x = jnp.where(frame_mask[:, :, None], x, 0)
@@ -636,61 +670,63 @@ def encoder(params: dict, x: jax.Array, frame_mask: jax.Array,
         rng, sub = jax.random.split(rng)
         x = _dropout(x, cfg.hidden_dropout, deterministic, sub)
 
-    def layer_body(carry, scanned):
-        h, i = carry
-        layer, = scanned,
-        lrng = None if rng is None else jax.random.fold_in(rng, i)
-        rngs = (jax.random.split(lrng, 4) if lrng is not None else [None] * 4)
+    res_dt = residual_dtype or compute_dtype
 
-        if cfg.do_stable_layer_norm:
-            # pre-LN: h += attn(LN1(h)); h += ffn(LN2(h))
-            hn = layer_norm(h, layer["ln1"]["scale"], layer["ln1"]["bias"], eps)
-            a = _mha(layer["attn"], hn, frame_mask, cfg.num_heads,
-                     deterministic, rngs[0], cfg.attention_dropout,
-                     compute_dtype, cfg.apply_attention_prob_dropout)
-            a = _dropout(a, cfg.hidden_dropout, deterministic, rngs[1])
-            h = h + a
-            hn = layer_norm(h, layer["ln2"]["scale"], layer["ln2"]["bias"], eps)
-            f = _lin(layer["ffn"]["w1"], hn, compute_dtype)
-            f = _gelu(f)
-            # materialize the GELU output: as a w2-GEMM operand fusion it
-            # drags that GEMM from ~190 to ~81 TF/s on v5e (profiled)
-            f = jax.lax.optimization_barrier(f)
-            f = _dropout(f, cfg.activation_dropout, deterministic, rngs[2])
-            f = _lin(layer["ffn"]["w2"], f, compute_dtype)
-            f = _dropout(f, cfg.hidden_dropout, deterministic, rngs[3])
-            if "adapter" in layer:
-                ad = layer["adapter"]
-                a_out = jax.nn.relu(
-                    hn @ ad["down"]["w"].astype(compute_dtype)
-                    + ad["down"]["b"].astype(compute_dtype))
-                a_out = (a_out @ ad["up"]["w"].astype(compute_dtype)
-                         + ad["up"]["b"].astype(compute_dtype))
-                gate = (ad["flag"].astype(compute_dtype)
-                        * jnp.asarray(cfg.adapter_scale, compute_dtype))
-                f = f + gate * a_out
-            h = h + f
-        else:
-            # post-LN: h = LN1(h + attn(h)); h = LN2(h + ffn(h))
-            a = _mha(layer["attn"], h, frame_mask, cfg.num_heads,
-                     deterministic, rngs[0], cfg.attention_dropout,
-                     compute_dtype, cfg.apply_attention_prob_dropout)
-            a = _dropout(a, cfg.hidden_dropout, deterministic, rngs[1])
-            h = layer_norm(h + a, layer["ln1"]["scale"], layer["ln1"]["bias"],
-                           eps)
-            f = _lin(layer["ffn"]["w1"], h, compute_dtype)
-            f = _gelu(f)
-            # materialize the GELU output: as a w2-GEMM operand fusion it
-            # drags that GEMM from ~190 to ~81 TF/s on v5e (profiled)
-            f = jax.lax.optimization_barrier(f)
-            f = _dropout(f, cfg.activation_dropout, deterministic, rngs[2])
-            f = _lin(layer["ffn"]["w2"], f, compute_dtype)
-            f = _dropout(f, cfg.hidden_dropout, deterministic, rngs[3])
-            h = layer_norm(h + f, layer["ln2"]["scale"], layer["ln2"]["bias"],
-                           eps)
-        return (h, i + 1), None
+    def make_body(dt):
+        """Layer body at compute dtype ``dt``; the carry (residual stream)
+        stays ``res_dt`` — when they differ (mixed-precision ladder), the
+        sub-block inputs cast down to ``dt`` after each LN and the residual
+        adds accumulate in ``res_dt``.  All casts are identity when
+        res_dt == dt, so the default path's program is unchanged."""
 
-    layers = params["layers"]
+        def layer_body(carry, scanned):
+            h, i = carry
+            layer, = scanned,
+            lrng = None if rng is None else jax.random.fold_in(rng, i)
+            rngs = (jax.random.split(lrng, 4) if lrng is not None
+                    else [None] * 4)
+
+            if cfg.do_stable_layer_norm:
+                # pre-LN: h += attn(LN1(h)); h += ffn(LN2(h))
+                hn = layer_norm(h, layer["ln1"]["scale"],
+                                layer["ln1"]["bias"], eps).astype(dt)
+                a = _mha(layer["attn"], hn, frame_mask, cfg.num_heads,
+                         deterministic, rngs[0], cfg.attention_dropout,
+                         dt, cfg.apply_attention_prob_dropout)
+                a = _dropout(a, cfg.hidden_dropout, deterministic, rngs[1])
+                h = h + a.astype(res_dt)
+                hn = layer_norm(h, layer["ln2"]["scale"],
+                                layer["ln2"]["bias"], eps).astype(dt)
+                f = _ffn_block(layer["ffn"], hn, deterministic, rngs[2],
+                               rngs[3], cfg, dt)
+                if "adapter" in layer:
+                    ad = layer["adapter"]
+                    a_out = jax.nn.relu(
+                        hn @ ad["down"]["w"].astype(dt)
+                        + ad["down"]["b"].astype(dt))
+                    a_out = (a_out @ ad["up"]["w"].astype(dt)
+                             + ad["up"]["b"].astype(dt))
+                    gate = (ad["flag"].astype(dt)
+                            * jnp.asarray(cfg.adapter_scale, dt))
+                    f = f + gate * a_out
+                h = h + f.astype(res_dt)
+            else:
+                # post-LN: h = LN1(h + attn(h)); h = LN2(h + ffn(h))
+                a = _mha(layer["attn"], h.astype(dt), frame_mask,
+                         cfg.num_heads, deterministic, rngs[0],
+                         cfg.attention_dropout, dt,
+                         cfg.apply_attention_prob_dropout)
+                a = _dropout(a, cfg.hidden_dropout, deterministic, rngs[1])
+                h = layer_norm(h + a.astype(res_dt), layer["ln1"]["scale"],
+                               layer["ln1"]["bias"], eps)
+                f = _ffn_block(layer["ffn"], h.astype(dt), deterministic,
+                               rngs[2], rngs[3], cfg, dt)
+                h = layer_norm(h + f.astype(res_dt), layer["ln2"]["scale"],
+                               layer["ln2"]["bias"], eps)
+            return (h, i + 1), None
+
+        return layer_body
+
     # cast the stacked layer params ONCE, outside the scan: otherwise XLA
     # emits per-layer f32->bf16 converts as operand fusions on the GEMMs
     # (measured: the dynamic-slice+convert prologue cut the FFN w2 GEMM from
@@ -700,16 +736,24 @@ def encoder(params: dict, x: jax.Array, frame_mask: jax.Array,
     # gain error on top of the int8 grid).
     from jax.tree_util import DictKey, tree_map_with_path
 
-    def _cast(path, a):
-        if not jnp.issubdtype(a.dtype, jnp.floating):
-            return a
-        if path and isinstance(path[-1], DictKey) and path[-1].key == "qs":
-            return a
-        return a.astype(compute_dtype)
+    def cast_tree(tree, dt):
+        def _cast(path, a):
+            if not jnp.issubdtype(a.dtype, jnp.floating):
+                return a
+            if (path and isinstance(path[-1], DictKey)
+                    and path[-1].key == "qs"):
+                return a
+            return a.astype(dt)
 
-    layers = tree_map_with_path(_cast, layers)
-    n_total = jax.tree.leaves(layers)[0].shape[0]
+        return tree_map_with_path(_cast, tree)
+
+    raw_layers = params["layers"]
+    n_total = jax.tree.leaves(raw_layers)[0].shape[0]
     n_frozen = max(0, min(n_frozen_layers, n_total))
+    n_f32 = max(0, min(f32_last_k, n_total))
+    if n_f32 and (n_frozen or freeze_ffn):
+        raise ValueError("f32_last_k is an inference-precision knob; it "
+                         "does not compose with LNA freeze splits")
 
     def freeze_tree(tree, ffn_only: bool):
         if not ffn_only:
@@ -719,13 +763,26 @@ def encoder(params: dict, x: jax.Array, frame_mask: jax.Array,
             out["ffn"] = jax.tree.map(jax.lax.stop_gradient, tree["ffn"])
         return out
 
-    carry = (x.astype(compute_dtype), 0)
-    if n_frozen:
-        frozen = jax.tree.map(lambda a: a[:n_frozen], layers)
-        carry, _ = jax.lax.scan(layer_body, carry, freeze_tree(frozen, False))
-    if n_frozen < n_total:
-        rest = jax.tree.map(lambda a: a[n_frozen:], layers)
-        carry, _ = jax.lax.scan(layer_body, carry, freeze_tree(rest, True))
+    carry = (x.astype(res_dt), 0)
+    body = make_body(compute_dtype)
+    if n_f32:
+        # mixed-precision ladder: the last k layers run at f32 — their own
+        # scan with f32-cast weights (two compiled bodies, same structure)
+        low = jax.tree.map(lambda a: a[: n_total - n_f32], raw_layers)
+        high = jax.tree.map(lambda a: a[n_total - n_f32:], raw_layers)
+        if n_total - n_f32:
+            carry, _ = jax.lax.scan(body, carry,
+                                    cast_tree(low, compute_dtype))
+        carry, _ = jax.lax.scan(make_body(jnp.float32), carry,
+                                cast_tree(high, jnp.float32))
+    else:
+        layers = cast_tree(raw_layers, compute_dtype)
+        if n_frozen:
+            frozen = jax.tree.map(lambda a: a[:n_frozen], layers)
+            carry, _ = jax.lax.scan(body, carry, freeze_tree(frozen, False))
+        if n_frozen < n_total:
+            rest = jax.tree.map(lambda a: a[n_frozen:], layers)
+            carry, _ = jax.lax.scan(body, carry, freeze_tree(rest, True))
     x, _ = carry
     return x
 
@@ -742,6 +799,8 @@ def wav2vec2_forward(
     freeze_feature_encoder: bool = False,
     n_frozen_layers: int = 0,
     freeze_ffn: bool = False,
+    residual_dtype=None,
+    f32_last_k: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Full encoder: returns (hidden [B, T, H] float32, frame_mask [B, T]).
 
@@ -786,5 +845,6 @@ def wav2vec2_forward(
 
     h = encoder(params, x, frame_mask, cfg, deterministic=deterministic,
                 rng=rng, compute_dtype=compute_dtype,
-                n_frozen_layers=n_frozen_layers, freeze_ffn=freeze_ffn)
+                n_frozen_layers=n_frozen_layers, freeze_ffn=freeze_ffn,
+                residual_dtype=residual_dtype, f32_last_k=f32_last_k)
     return h.astype(jnp.float32), frame_mask

@@ -35,6 +35,7 @@ query rows produce garbage that callers zero out via the output mask
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -301,6 +302,162 @@ def attention_bthd(
     if get_backend() == "pallas":
         return attention_pallas_bthd(q, k, v, key_mask, scale)
     return attention_xla_bthd(q, k, v, key_mask, scale)
+
+
+# ---------------------------------------------------------------------------
+# packed-layout kernel: consumes the fused QKV GEMM's output [B, T, 3H]
+# directly — NO head relayout.  The legacy path's [B,T,3,H,D] -> [B,H,T,D]
+# transpose costs 0.79-0.93 ms/layer at production geometry (PERF.md trace:
+# "qkv head relayout"), pure HBM copies.  Here each grid cell reads a
+# 128-LANE-ALIGNED column block of the GEMM output: for D=128 that is one
+# head; for D=64 a PAIR of adjacent heads, separated in-kernel by
+# zero-masked contractions instead of the ~5x-slow sub-tile lane slicing
+# (CLAUDE.md):  q_pair @ (k_pair*mask_h)^T contracts 128 lanes of which the
+# other head's are zero — exact, and FREE on the MXU because it pads the
+# 64-deep contraction to 128 internally anyway (see module docstring).  The
+# PV products recombine for free too: P_h @ (v_pair*mask_h) leaves zeros in
+# the other head's lanes, so out = sum over the pair lands already packed
+# [T, 128] and the output block writes straight into [B, T, H] — ready for
+# the o-projection with no transpose.
+# ---------------------------------------------------------------------------
+
+_PACK_W = 128  # lane width of one packed head block (the TPU tile width)
+
+
+def _attn_fwd_packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                            scale: float, d: int):
+    q = q_ref[0]  # [T, 128]: one head (d=128) or two adjacent heads (d=64)
+    k = k_ref[0]
+    v = v_ref[0]
+    bias = bias_ref[0, 0, :][None, :]  # [1, T] additive key bias
+
+    def one_head(kh, vh):
+        s = jax.lax.dot_general(
+            q, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias                       # [T, T]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        z = jnp.sum(e, axis=-1, keepdims=True)
+        o = jnp.dot(e.astype(vh.dtype), vh,
+                    preferred_element_type=jnp.float32)
+        return o / z                           # [T, 128]
+
+    if d == _PACK_W:
+        out = one_head(k, v)
+    else:
+        # head pair: zero the OTHER head's lanes of k/v per contraction.
+        # q needs no mask — its other-head lanes multiply k's zeros.
+        lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+        lo = lane < d
+        zero = jnp.zeros_like(k)
+        out = (one_head(jnp.where(lo, k, zero), jnp.where(lo, v, zero))
+               + one_head(jnp.where(lo, zero, k), jnp.where(lo, zero, v)))
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _fwd_packed_call(proj, bias, scale, num_heads):
+    b, t, th = proj.shape
+    h = th // 3
+    d = h // num_heads
+    nhb = h // _PACK_W  # packed head blocks per q/k/v section
+    sect = pl.BlockSpec  # alias for line width
+
+    def blk(off):
+        return sect((1, t, _PACK_W), lambda i, j, off=off: (i, 0, off + j),
+                    memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_packed_kernel, scale=scale, d=d),
+        out_shape=jax.ShapeDtypeStruct((b, t, h), proj.dtype),
+        grid=(b, nhb),
+        in_specs=[
+            blk(0), blk(nhb), blk(2 * nhb),
+            sect((1, 1, t), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=sect((1, t, _PACK_W), lambda i, j: (i, 0, j),
+                       memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * t * t * h * b,
+            bytes_accessed=(3 * b * t * h + b * t * h) * proj.dtype.itemsize,
+            transcendentals=b * (h // d) * t * t,
+        ),
+    )(proj, proj, proj, bias)
+
+
+def _unpack_qkv(proj, num_heads):
+    b, t, th = proj.shape
+    h = th // 3
+    d = h // num_heads
+    qkv = proj.reshape(b, t, 3, num_heads, d).transpose(2, 0, 3, 1, 4)
+    return qkv[0], qkv[1], qkv[2]  # each [B, H, T, D]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused_attn_packed(proj, bias, scale, num_heads):
+    return _fwd_packed_call(proj, bias, scale, num_heads)
+
+
+def _packed_fwd(proj, bias, scale, num_heads):
+    return _fwd_packed_call(proj, bias, scale, num_heads), (proj, bias)
+
+
+def _packed_bwd(scale, num_heads, res, g):
+    # backward via the legacy [B,H,T,D] kernel: the relayout transposes move
+    # to the backward pass only (training); inference never pays them
+    proj, bias = res
+    b, t, th = proj.shape
+    h = th // 3
+    d = h // num_heads
+    q, k, v = _unpack_qkv(proj, num_heads)
+    do = g.reshape(b, t, num_heads, d).transpose(0, 2, 1, 3).astype(q.dtype)
+    dq, dk, dv = _bwd_call(q, k, v, bias, do, scale)
+    dqkv = jnp.stack([dq, dk, dv])  # [3, B, H, T, D] f32
+    dproj = dqkv.transpose(1, 3, 0, 2, 4).reshape(b, t, th)
+    return dproj.astype(proj.dtype), jnp.zeros_like(bias)
+
+
+_fused_attn_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
+def attention_packed(
+    proj: jax.Array,  # [B, T, 3H]: fused QKV GEMM output, heads contiguous
+    key_mask: jax.Array | None,
+    num_heads: int,
+    scale: float | None = None,
+) -> jax.Array:
+    """Self-attention straight off the packed QKV projection -> [B, T, H].
+
+    Preferred TPU entry point: no head relayout in the forward.  Falls back
+    to the legacy [B,H,T,D] path when the geometry doesn't give 128-lane
+    head blocks (D not 64/128 or H not a 128-multiple), or when an active
+    mesh has a model axis (heads shard over 'model' only in the head-major
+    layout — the packed lane order interleaves q/k/v sections, which a
+    last-dim sharding would split incorrectly).
+    """
+    b, t, th = proj.shape
+    h = th // 3
+    d = h // num_heads
+    if scale is None:
+        scale = d ** -0.5
+    # W2VSEG_ATTNPACK=0 restores the legacy relayout path (A/B arm); read
+    # at trace time — fresh process per arm, like W2VSEG_CONVFUSE
+    packed_on = os.environ.get("W2VSEG_ATTNPACK", "1") == "1"
+    if (packed_on and get_backend() == "pallas" and h % _PACK_W == 0
+            and d in (64, 128)):
+        from .backend import get_mesh
+        from .shmap import shard_batch
+
+        mesh = get_mesh()
+        if mesh is None or mesh.shape.get("model", 1) <= 1:
+            bias = _key_bias(key_mask, b, t)
+            return shard_batch(
+                lambda p, bb: _fused_attn_packed(p, bb, float(scale),
+                                                 num_heads),
+                proj, bias)
+    q, k, v = _unpack_qkv(proj, num_heads)
+    out = attention(q, k, v, key_mask, scale)
+    return out.transpose(0, 2, 1, 3).reshape(b, t, h)
 
 
 def attention_pallas(

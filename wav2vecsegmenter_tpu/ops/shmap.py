@@ -54,6 +54,60 @@ def shard_rows(fn, x, *replicated_args):
     )(x, *replicated_args)
 
 
+def shard_batch(fn, *args):
+    """Run an op with EVERY operand sharded along its leading (batch) dim
+    over 'data' (e.g. packed attention: proj [B, T, 3H] + bias [B, 1, T]).
+    The output's leading dim must be the same batch dim.  Outside a mesh
+    context this is ``fn`` itself."""
+    mesh = get_mesh()
+    if mesh is None:
+        return fn(*args)
+    data = axis_if_divisible(mesh, "data", args[0].shape[0])
+    specs = tuple(P(*([data] + [None] * (a.ndim - 1))) for a in args)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=specs,
+        out_specs=P(*([data] + [None] * (args[0].ndim - 1))),
+        check_vma=False,
+    )(*args)
+
+
+def shard_ffn(fn, x, w1, b1, w2, b2):
+    """Run the fused FFN kernel Megatron-sharded over the mesh.
+
+    Rows over 'data'; the FFN inner dim over 'model': w1 [H, F] cols,
+    b1 [F], w2 [F, H] rows — exactly the specs parallel/mesh.param_shardings
+    assigns those weights, so under TP the shards stay resident (no weight
+    all-gather).  Each device computes a partial f over its F-slice (its b1
+    slice rides inside), the partials psum over 'model', and b2 is added
+    ONCE after the psum.  GELU is elementwise over F, so it commutes with
+    the F-sharding.  Outside a mesh context this is ``fn`` itself."""
+    mesh = get_mesh()
+    if mesh is None:
+        return fn(x, w1, b1, w2, b2)
+    import jax.numpy as jnp
+
+    data = axis_if_divisible(mesh, "data", x.shape[0])
+    model = axis_if_divisible(mesh, "model", w1.shape[1])
+    xspec = P(*([data] + [None] * (x.ndim - 1)))
+    if model is None:
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(xspec, P(), P(), P(), P()),
+            out_specs=xspec, check_vma=False,
+        )(x, w1, b1, w2, b2)
+
+    def body(x, w1, b1, w2, b2):
+        f = fn(x, w1, b1, w2, jnp.zeros_like(b2))
+        f = jax.lax.psum(f, "model")
+        return f + b2
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(xspec, P(None, model), P(model), P(model, None), P()),
+        out_specs=xspec, check_vma=False,
+    )(x, w1, b1, w2, b2)
+
+
 def shard_attention(fn, q, k, v, bias):
     """Run a fused attention kernel with batch over 'data' and heads over
     'model' (q/k/v are [B, H, T, D]; bias is the [B, 1, T_k] key bias).
