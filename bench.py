@@ -202,6 +202,15 @@ def bench_online() -> None:
     algo = dict(algorithm="pthr", max_segment_length=10,
                 min_segment_length=0.2, threshold=0.3,
                 moving_average_window=0.1)
+    # low-latency arm (BENCH_HOP_SECS=2 [BENCH_LOOKAHEAD_SECS=2]): trailing
+    # window re-runs every hop, committing frames with >= lookahead right
+    # context — buys commit lag with encoder compute (infer/online.py)
+    hop = os.environ.get("BENCH_HOP_SECS")
+    if hop:
+        algo["hop_secs"] = float(hop)
+        if os.environ.get("BENCH_LOOKAHEAD_SECS"):
+            algo["lookahead_secs"] = float(
+                os.environ["BENCH_LOOKAHEAD_SECS"])
     rng = np.random.RandomState(0)
     n = int(talk_secs * 16000)
     streams = {

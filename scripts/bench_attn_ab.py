@@ -7,7 +7,8 @@ Times the FULL encoder scan at production geometry ([16, 999, 1024], bf16)
 — not the FFN op standalone — because v5e's VMEM pinning makes standalone
 GEMM microbenches meaningless here (PERF.md: the same shapes do 39 vs
 190 TF/s depending on residency).  Methodology per CLAUDE.md: data generated
-on device, REPS loops in ONE jit via lax.scan, numerics cross-checked first.
+on device, REPS back-to-back async dispatches of the compiled forward
+(force only the tail), numerics cross-checked first.
 
 Run on TPU: timeout 580 python -u scripts/bench_attn_ab.py
 Optional: PROFILE_DIR=/tmp/attnab dumps an xplane trace per arm.
@@ -41,6 +42,9 @@ def main():
     dt = jnp.bfloat16 if on_tpu else jnp.float32
     if on_tpu:
         set_backend("pallas")
+    # isolate the attention variable: pin the FFN path to the separate-GEMM
+    # chain for BOTH arms (bench_ffn_ab.py owns the FFN A/B)
+    os.environ.setdefault("W2VSEG_FFNFUSE", "0")
     cfg = Wav2Vec2Config()
 
     # init params ON DEVICE in one jit (eager init through the tunnel is
@@ -51,16 +55,12 @@ def main():
                           jnp.float32) * 0.3
     frame_mask = jnp.ones((BATCH, T), bool)
 
-    def make_loop():
-        def run(x0):
-            def body(carry, _):
-                h = encoder(params, x0 + carry, frame_mask, cfg,
-                            deterministic=True, compute_dtype=dt)
-                return (jnp.float32(0.0) * h[0, 0, 0].astype(jnp.float32),
-                        None)
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=REPS)
-            return c
-        return jax.jit(run)
+    # Timing WITHOUT a REPS-scan mega-program: a lax.scan over the 24-layer
+    # encoder triples the compile into the regime that crashed the remote
+    # compile service (broken pipe, 2026-08-20).  Instead dispatch the
+    # already-compiled single forward back-to-back N times (async dispatch
+    # queues on device; the ~25-30 ms per-call RTT overlaps the ~150 ms
+    # program) and force only the last output.
 
     profile_dir = os.environ.get("PROFILE_DIR")
     results = {}
@@ -71,25 +71,31 @@ def main():
         enc = jax.jit(lambda p, a: encoder(p, a, frame_mask, cfg,
                                            deterministic=True,
                                            compute_dtype=dt))
+        t_c0 = time.time()
         outs[name] = np.asarray(enc(params, x), np.float32)
-        fn = make_loop()
-        t0 = time.time()
-        np.asarray(fn(x))
-        t1 = time.time()
+        t_c1 = time.time()
+
+        def timed_pass():
+            y = None
+            for _ in range(REPS):
+                y = enc(params, x)
+            np.asarray(y[0, 0, :2])  # force the tail of the queue
+
+        timed_pass()  # warm the dispatch path
         walls = []
         for _ in range(3):
             s = time.time()
-            np.asarray(fn(x))
+            timed_pass()
             walls.append(time.time() - s)
         best = min(walls)
         results[name] = best / REPS * 1e3
-        print(f"{name}: compile+first {t1 - t0:.1f}s, best "
+        print(f"{name}: compile+first {t_c1 - t_c0:.1f}s, best "
               f"{best:.3f}s/{REPS} reps = {results[name]:.2f} ms/batch "
               f"({results[name] / cfg.num_layers:.2f} ms/layer)", flush=True)
         if profile_dir:
             d = os.path.join(profile_dir, name.replace("+", "_"))
             with jax.profiler.trace(d):
-                np.asarray(fn(x))
+                timed_pass()
 
     a, b = outs["relayout"], outs["attnpack"]
     d = np.abs(a - b)

@@ -18,6 +18,15 @@ import on this rig — CLAUDE.md):
   python scripts/parity_tpu_fullgeom.py tpu      # TPU bf16, kernels=pallas
   python scripts/parity_tpu_fullgeom.py compare  # deltas -> PARITY.md table
 
+Mixed-precision ladder arms (runtime.precision, VERDICT r4 next #3) — each
+a separate process like the main arms; compare picks up every
+probs_tpu*.npz present and reports dprob + boundary deltas + the measured
+wall per talk (the xRT-cost side of the ladder):
+
+  python scripts/parity_tpu_fullgeom.py tpu_f32head
+  python scripts/parity_tpu_fullgeom.py tpu_f32res
+  python scripts/parity_tpu_fullgeom.py tpu_f32last4
+
 Artifacts land in /tmp/w2vseg_parity_fullgeom (override PARITY_OUT).
 Talks are bench-shaped (tail-merged window -> tail bucket, free-standing
 short window -> std bucket, whole windows) but scaled to PARITY_TALK_SPECS
@@ -113,6 +122,7 @@ def _run_arm(arm: str):
     from wav2vecsegmenter_tpu.infer.pipeline import WindowInference, infer_talk
     from wav2vecsegmenter_tpu.ops.backend import set_backend
 
+    precision = None
     if arm == "oracle":
         assert jax.default_backend() == "cpu", jax.default_backend()
         set_backend("xla")
@@ -121,18 +131,22 @@ def _run_arm(arm: str):
         assert jax.default_backend() == "tpu", (
             "tpu arm must run on the axon backend")
         # attribution arms: tpu_xla isolates the bf16 dtype (XLA kernels),
-        # tpu_f32 isolates the Pallas kernels (f32 compute)
+        # tpu_f32 isolates the Pallas kernels (f32 compute); tpu_f32head /
+        # tpu_f32res / tpu_f32last<k> are the runtime.precision ladder
         set_backend("xla" if arm == "tpu_xla" else "pallas")
         dtype = jnp.float32 if arm == "tpu_f32" else jnp.bfloat16
+        if arm.startswith("tpu_f32") and arm != "tpu_f32":
+            precision = arm[len("tpu_"):]
 
     wav_paths = _make_wavs()
     model, params = _build_model_params()
-    if arm == "tpu":
+    if arm.startswith("tpu"):
         params = jax.device_put(params, jax.devices()[0])
     engine = WindowInference(model, params, loss_tag="bce",
-                             compute_dtype=dtype)
+                             compute_dtype=dtype, precision=precision)
 
     out = {}
+    walls = {}
     for wav in wav_paths:
         t0 = time.perf_counter()
         dataset = FixedSegmentationDatasetNoTarget(wav, 20, PASSES)
@@ -152,10 +166,27 @@ def _run_arm(arm: str):
                 avg_logits = avg_logits + logits
         avg_probs = avg_probs / PASSES
         out[wav.stem] = avg_probs.astype(np.float64)
+        walls[wav.stem] = time.perf_counter() - t0
         _log(f"{arm}: {wav.name} ({dataset.duration_outframes} frames) "
-             f"in {time.perf_counter() - t0:.1f}s")
+             f"in {walls[wav.stem]:.1f}s")
     np.savez(OUT_DIR / f"probs_{arm}.npz", **out)
-    _log(f"{arm}: wrote {OUT_DIR / f'probs_{arm}.npz'}")
+    # second timed sweep (first pays compiles); used for the ladder's
+    # xRT-cost column
+    t0 = time.perf_counter()
+    for wav in wav_paths:
+        dataset = FixedSegmentationDatasetNoTarget(wav, 20, PASSES)
+        for it in range(PASSES):
+            dataset.fixed_length_segmentation(it)
+            infer_talk(engine, BatchIterator(
+                dataset, BATCH, 20.0, shuffle=False, device_normalize=True,
+                remainder_ladder=True), dataset.duration_outframes,
+                need_logits=False)
+    wall2 = time.perf_counter() - t0
+    with open(OUT_DIR / f"wall_{arm}.json", "w") as f:
+        json.dump({"first_sweep_s": walls, "warm_sweep_s": wall2,
+                   "xrt_warm": sum(TALK_SPECS) / wall2}, f)
+    _log(f"{arm}: wrote {OUT_DIR / f'probs_{arm}.npz'}; warm sweep "
+         f"{wall2:.1f}s ({sum(TALK_SPECS) / wall2:.0f}x RT)")
 
 
 def _segments_for(probs: np.ndarray):
@@ -172,7 +203,33 @@ def _segments_for(probs: np.ndarray):
 def _compare():
     a = np.load(OUT_DIR / "probs_oracle.npz")
     b = np.load(OUT_DIR / "probs_tpu.npz")
-    report = {"talks": {}, "algorithms": {}}
+
+    # ladder arms: every probs_tpu_*.npz present gets a dprob + boundary +
+    # xRT-cost row against the same oracle (PARITY.md "precision ladder")
+    ladder = {}
+    for pb in sorted(OUT_DIR.glob("probs_tpu_*.npz")) + \
+            [OUT_DIR / "probs_tpu.npz"]:
+        arm = pb.stem[len("probs_"):]
+        d = np.load(pb)
+        dmax = max(float(np.abs(a[t] - d[t]).max()) for t in a.files)
+        dmean = float(np.mean(
+            np.concatenate([np.abs(a[t] - d[t]) for t in a.files])))
+        segs_o = {t: _segments_for(a[t]) for t in a.files}
+        segs_d = {t: _segments_for(d[t]) for t in a.files}
+        flips = sum(
+            1 for t in a.files for al in ALGOS
+            if len(segs_o[t][al]) != len(segs_d[t][al]))
+        wall_p = OUT_DIR / f"wall_{arm}.json"
+        xrt = None
+        if wall_p.exists():
+            xrt = json.loads(wall_p.read_text()).get("xrt_warm")
+        ladder[arm] = {"max_dprob": dmax, "mean_dprob": dmean,
+                       "count_flips_talk_algo": flips, "xrt_warm": xrt}
+        _log(f"ladder {arm}: max|dprob|={dmax:.5f} mean={dmean:.6f} "
+             f"count-flips={flips}/{len(a.files) * len(ALGOS)} "
+             f"xrt={xrt if xrt is None else round(xrt)}")
+
+    report = {"talks": {}, "algorithms": {}, "ladder": ladder}
     worst = 0.0
     for talk in a.files:
         pa, pb = a[talk], b[talk]
@@ -233,7 +290,7 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
         _run_arm("oracle")
-    elif cmd in ("tpu", "tpu_xla", "tpu_f32"):
+    elif cmd.startswith("tpu"):
         _run_arm(cmd)
     elif cmd == "compare":
         import jax

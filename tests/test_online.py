@@ -533,3 +533,138 @@ def test_multistream_fractional_spans_grouped():
     # grouping path ran; a mixed batch would couple the streams through
     # collate's batch-level -1 correction)
     assert any(spans == {699, 700} for spans in seen_spans), seen_spans
+
+
+def _hop_engine():
+    import jax
+
+    from wav2vecsegmenter_tpu.infer.pipeline import WindowInference
+
+    model = tiny_shas()
+    params = model.init(jax.random.PRNGKey(0))
+    return WindowInference(model, params)
+
+
+def test_hop_mode_full_hop_equals_tumbling():
+    """hop_secs == segment_length with lookahead 0 produces EXACTLY the
+    tumbling window grid (trailing windows at k*W are [k*W - W, k*W)), so
+    segments must match the default mode bit-for-bit — pins the hop-mode
+    frame clock and commit bookkeeping to the proven tumbling path."""
+    from wav2vecsegmenter_tpu.infer.online import OnlineSegmenter
+
+    engine = _hop_engine()
+    rng = np.random.RandomState(11)
+    n = int(13.0 * 16000)
+    wav = (rng.randn(n).astype(np.float32) * 0.1
+           * ((np.arange(n) % 32000) < 24000))
+    algo = dict(algorithm="strm", max_segment_length=3,
+                min_segment_length=0.2, min_pause_length=0.2, threshold=0.5)
+
+    base = OnlineSegmenter(engine, segment_length=4, **algo)
+    hop = OnlineSegmenter(engine, segment_length=4, hop_secs=4,
+                          lookahead_secs=0, **algo)
+    for seg_obj in (base, hop):
+        i = 0
+        while i < n:
+            seg_obj.feed(wav[i: i + 25000])
+            i += 25000
+        seg_obj.finish()
+    assert len(base.segments) == len(hop.segments) > 0
+    for a, b in zip(base.segments, hop.segments):
+        assert a.offset == b.offset and a.duration == b.duration
+
+
+def test_hop_mode_commits_earlier_and_covers_stream():
+    """A 1 s hop with 1 s lookahead must commit segments with LOWER lag than
+    the tumbling default (that is the knob's contract), produce sane
+    segments over the full stream, and feed every output frame exactly once
+    (the internal frame clock stays aligned)."""
+    from wav2vecsegmenter_tpu.core.frames import inframes_to_outframes
+    from wav2vecsegmenter_tpu.infer.online import OnlineSegmenter
+
+    engine = _hop_engine()
+    rng = np.random.RandomState(12)
+    n = int(20.0 * 16000)
+    wav = (rng.randn(n).astype(np.float32) * 0.1
+           * ((np.arange(n) % 32000) < 24000))
+    algo = dict(algorithm="strm", max_segment_length=3,
+                min_segment_length=0.2, min_pause_length=0.2, threshold=0.5)
+
+    def run(**kw):
+        seg_obj = OnlineSegmenter(engine, segment_length=4, **algo, **kw)
+        lags = []
+        chunk = 16000  # 1 s ticks
+        i = 0
+        while i < n:
+            for s in seg_obj.feed(wav[i: i + chunk]):
+                pos_s = (i + chunk) / 16000
+                lags.append(pos_s - (s.offset + s.duration))
+            i += chunk
+        seg_obj.finish()
+        return seg_obj, lags
+
+    base, lags_base = run()
+    hop, lags_hop = run(hop_secs=1, lookahead_secs=1)
+
+    # hop mode fed the entire stream to the core exactly once
+    assert hop._fed_out == int(inframes_to_outframes(n))
+    assert len(hop.segments) > 0
+    # and commits are earlier on average (lags exist pre-finish in both)
+    assert lags_hop and lags_base
+    assert np.mean(lags_hop) < np.mean(lags_base)
+    # segment surface stays sane: ordered, inside the stream
+    ends = [s.offset + s.duration for s in hop.segments]
+    assert all(e <= n / 16000 + 0.5 for e in ends)
+    assert all(hop.segments[i].offset <= hop.segments[i + 1].offset
+               for i in range(len(hop.segments) - 1))
+
+
+def test_hop_mode_multistream_matches_single():
+    """MultiStreamSegmenter in hop mode: batched hop jobs commit the same
+    segments as the same stream run alone (same windows, batch-max
+    normalization seeing identical full windows)."""
+    from wav2vecsegmenter_tpu.infer.online import (
+        MultiStreamSegmenter, OnlineSegmenter)
+
+    engine = _hop_engine()
+    rng = np.random.RandomState(13)
+    n = int(12.0 * 16000)
+    wavs = {k: (rng.randn(n).astype(np.float32) * 0.1
+                * ((np.arange(n) % (32000 + 1600 * k)) < 24000))
+            for k in range(3)}
+    algo = dict(algorithm="pthr", max_segment_length=3,
+                min_segment_length=0.2, threshold=0.4,
+                moving_average_window=0.1, hop_secs=2, lookahead_secs=1)
+
+    solo = {}
+    for k, wav in wavs.items():
+        seg_obj = OnlineSegmenter(engine, segment_length=4, **algo)
+        i = 0
+        while i < n:
+            seg_obj.feed(wav[i: i + 16000])
+            i += 16000
+        seg_obj.finish()
+        solo[k] = seg_obj.segments
+
+    mux = MultiStreamSegmenter(engine, max_batch=4, segment_length=4, **algo)
+    i = 0
+    while i < n:
+        mux.feed({k: wav[i: i + 16000] for k, wav in wavs.items()})
+        i += 16000
+    mux.finish_all()
+    for k in wavs:
+        got = mux.segments(k)
+        assert len(got) == len(solo[k]) > 0, k
+        for a, b in zip(got, solo[k]):
+            assert a.offset == b.offset and a.duration == b.duration
+
+
+def test_hop_mode_validation():
+    from wav2vecsegmenter_tpu.infer.online import OnlineSegmenter
+
+    engine = _hop_engine()
+    with pytest.raises(ValueError):
+        OnlineSegmenter(engine, segment_length=4, hop_secs=5)
+    with pytest.raises(ValueError):
+        OnlineSegmenter(engine, segment_length=4, hop_secs=2,
+                        lookahead_secs=3)

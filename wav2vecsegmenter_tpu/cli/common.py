@@ -215,6 +215,22 @@ def load_params(config: Config, model, ckpt_path: str):
                                  allow_random_wav2vec=allow_random)
 
 
+def hop_conf(config) -> dict:
+    """Online low-latency knob (hop_secs / lookahead_secs) from config.
+
+    Returns kwargs for OnlineSegmenter/MultiStreamSegmenter: hop mode
+    re-runs the encoder every hop_secs over the trailing window and commits
+    frames older than lookahead_secs — lag <= hop+lookahead (+ the
+    algorithm's own horizon) instead of <= segment_length, at
+    ~segment_length/hop_secs x the encoder compute (infer/online.py)."""
+    out = {}
+    if config.get("hop_secs") is not None:
+        out["hop_secs"] = float(config["hop_secs"])
+        if config.get("lookahead_secs") is not None:
+            out["lookahead_secs"] = float(config["lookahead_secs"])
+    return out
+
+
 def run_algorithm(tag: str, algo_conf: dict, probs: np.ndarray,
                   logits: np.ndarray, vocab):
     """Algorithm dispatch (reference segment.py:107-119)."""

@@ -36,6 +36,7 @@ from .common import (
     build_model,
     compose_app,
     expand_sweeps,
+    hop_conf,
     init_logging,
     load_params,
     logger,
@@ -163,6 +164,7 @@ def _stream_stdin(engine, config, tag, algo_conf, chunk_samples: int,
         engine,
         segment_length=float(config.segment_length),
         algorithm=tag,
+        **hop_conf(config),
         **algo_conf,
     )
     emit = _emitter(name, emit_jsonl)
@@ -203,6 +205,7 @@ def _stream_wav(engine, config, tag, algo_conf, wav_path: Path,
         engine,
         segment_length=float(config.segment_length),
         algorithm=tag,
+        **hop_conf(config),
         **algo_conf,
     )
     emit = _emitter(Path(wav_path).name, emit_jsonl)
@@ -241,7 +244,7 @@ def _stream_concurrent(engine, config, tag, algo_conf, wav_paths,
     mux = MultiStreamSegmenter(
         engine, max_batch=int(config.get("max_batch", 8)),
         segment_length=float(config.segment_length), algorithm=tag,
-        **algo_conf)
+        **hop_conf(config), **algo_conf)
 
     queue = list(wav_paths)
     active: dict = {}  # sid -> [wav_path, pos, total]

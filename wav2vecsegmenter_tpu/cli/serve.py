@@ -25,6 +25,7 @@ from .common import (
     apply_runtime,
     build_model,
     compose_app,
+    hop_conf,
     init_logging,
     load_params,
     logger,
@@ -62,6 +63,7 @@ def build_server(config) -> SegmentationServer:
         max_conns=int(config.get("max_conns", 0)),
         segment_length=float(config.segment_length),
         algorithm=tag,
+        **hop_conf(config),
         **algo_conf,
     )
 

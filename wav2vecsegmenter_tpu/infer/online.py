@@ -71,12 +71,44 @@ class OnlineSegmenter:
         max_lerp_range: float = 0,
         min_lerp_range: float = 0,
         moving_average_window: float = 0,
+        hop_secs: float | None = None,
+        lookahead_secs: float | None = None,
     ):
         self.engine = engine
         self.window_inframes = int(secs_to_inframes(segment_length))
         self.out_len = out_len_for(self.window_inframes)
         self.threshold = threshold
         self.algorithm = algorithm
+        # Low-latency hop mode (the serving lag/quality knob): instead of
+        # waiting for a full window (up to segment_length of buffering lag),
+        # re-run the encoder every ``hop_secs`` over the TRAILING
+        # segment_length of audio and commit only frames older than
+        # ``lookahead_secs`` — every committed frame then has at least
+        # lookahead_secs of right context (the tumbling default gives its
+        # last frames none) at a compute cost of ~segment_length/hop_secs
+        # forwards per audio second.  Encoder buffering lag drops from
+        # <= segment_length to <= hop_secs + lookahead_secs; the algorithm
+        # core's own bounded lookahead is unchanged.  Probabilities differ
+        # from an offline run (different window grid + per-window
+        # normalization); the deviation is measured by
+        # scripts/measure_online_lag.py and recorded in PERF.md.
+        self.hop_inframes = None
+        self.lookahead_out = 0
+        if hop_secs is not None:
+            if not 0 < hop_secs <= segment_length:
+                raise ValueError("hop_secs must be in (0, segment_length]")
+            if lookahead_secs is None:
+                lookahead_secs = (segment_length - hop_secs) / 2
+            if lookahead_secs < 0 or hop_secs + lookahead_secs > segment_length:
+                raise ValueError(
+                    "need hop_secs + lookahead_secs <= segment_length (a "
+                    "committed frame must lie inside the current window)")
+            self.hop_inframes = int(secs_to_inframes(hop_secs))
+            self.lookahead_out = int(lookahead_secs / _FRAME_LEN)
+            self._recv = 0            # absolute samples received
+            self._buf_start = 0       # absolute index of _pending[0]
+            self._next_hop_at = self.hop_inframes
+            self._fed_out = 0         # output frames already fed to the core
         max_steps = int(max_segment_length / _FRAME_LEN)
         min_steps = int(min_segment_length / _FRAME_LEN)
         if algorithm == "strm":
@@ -107,15 +139,10 @@ class OnlineSegmenter:
     # ------------------------------------------------------------------
     def feed(self, samples: np.ndarray) -> list[Segment]:
         """Consume samples; returns segments finalized by this call."""
-        assert not self._finished, "feed() after finish()"
-        samples = np.asarray(samples, np.float32)
-        if samples.ndim != 1:
-            raise ValueError("feed expects a mono 1-D float array")
-        if len(samples):
-            self._pending = np.concatenate([self._pending, samples])
+        self._buffer(samples)
         out: list[Segment] = []
-        for window in self._pop_windows():
-            out.extend(self._run_window(window))
+        for example, meta in self._pop_jobs():
+            out.extend(self._run_job(example, meta))
         return out
 
     def _buffer(self, samples: np.ndarray) -> None:
@@ -126,6 +153,8 @@ class OnlineSegmenter:
             raise ValueError("feed expects a mono 1-D float array")
         if len(samples):
             self._pending = np.concatenate([self._pending, samples])
+            if self.hop_inframes is not None:
+                self._recv += len(samples)
 
     def _pop_windows(self) -> list[np.ndarray]:
         """Pop every full window currently buffered, in stream order."""
@@ -135,12 +164,75 @@ class OnlineSegmenter:
             self._pending = self._pending[self.window_inframes:]
         return wins
 
+    def _pop_jobs(self) -> list[tuple]:
+        """Every encoder job currently runnable: [(collate example, meta)].
+        Tumbling mode pops full windows; hop mode pops one trailing-window
+        job per elapsed hop."""
+        if self.hop_inframes is None:
+            return [self._tumble_job(w) for w in self._pop_windows()]
+        jobs = []
+        while self._recv >= self._next_hop_at:
+            win_end = self._next_hop_at
+            win_start = max(0, win_end - self.window_inframes)
+            a = win_start - self._buf_start
+            window = np.array(self._pending[a: win_end - self._buf_start])
+            start_out = int(inframes_to_outframes(win_start))
+            end_out = int(inframes_to_outframes(win_end))
+            commit_until = max(self._fed_out,
+                               end_out - self.lookahead_out)
+            jobs.append(((window, None, 0, end_out - start_out),
+                         ("hop", start_out, commit_until)))
+            self._next_hop_at += self.hop_inframes
+        # drop history the next window can no longer reach
+        keep_from = max(0, self._next_hop_at - self.window_inframes)
+        if keep_from > self._buf_start:
+            self._pending = self._pending[keep_from - self._buf_start:]
+            self._buf_start = keep_from
+        return jobs
+
+    def _tumble_job(self, window: np.ndarray) -> tuple:
+        example, end_out = self._window_example(window)
+        return example, ("tumble", end_out)
+
+    def _apply_probs(self, probs: np.ndarray, meta: tuple) -> list[Segment]:
+        """Feed one job's probabilities to the algorithm core.  Hop jobs
+        commit only the window's frames in [fed, commit_until) — committed
+        once, each with >= lookahead_secs of right context."""
+        if meta[0] == "tumble":
+            return self._apply_window(probs, meta[1])
+        _, start_out, commit_until = meta
+        lo = self._fed_out - start_out
+        hi = commit_until - start_out
+        if hi <= lo:
+            return []
+        feed = probs[max(lo, 0): hi]
+        if lo < 0:
+            # 49.95 Hz rounding can leave a frame between the previous
+            # commit and this window's start; backfill with the window's
+            # first prediction (same spirit as the stitch's NaN fill)
+            feed = np.concatenate([np.repeat(probs[:1], -lo), feed])
+        self._fed_out = commit_until
+        return self._apply_window(feed, commit_until)
+
     def finish(self) -> list[Segment]:
         """Flush the final partial window and the algorithm core; returns
         the remaining segments.  ``segments`` then holds the full list."""
         assert not self._finished, "finish() called twice"
         out: list[Segment] = []
-        if len(self._pending):
+        if self.hop_inframes is not None:
+            win_end = self._recv
+            win_start = max(0, win_end - self.window_inframes)
+            start_out = int(inframes_to_outframes(win_start))
+            end_out = int(inframes_to_outframes(win_end))
+            if end_out > self._fed_out and end_out > start_out:
+                a = win_start - self._buf_start
+                window = np.array(self._pending[a: win_end - self._buf_start])
+                # final flush commits through the end (no lookahead left)
+                out.extend(self._run_job(
+                    (window, None, 0, end_out - start_out),
+                    ("hop", start_out, end_out)))
+            self._pending = np.zeros(0, np.float32)
+        elif len(self._pending):
             out.extend(self._run_window(self._pending))
             self._pending = np.zeros(0, np.float32)
         out.extend(self._commit(self._core.flush()))
@@ -212,7 +304,9 @@ class OnlineSegmenter:
         return self._commit(self._core.feed(feed))
 
     def _run_window(self, window: np.ndarray) -> list[Segment]:
-        example, end_out = self._window_example(window)
+        return self._run_job(*self._tumble_job(window))
+
+    def _run_job(self, example: tuple, meta: tuple) -> list[Segment]:
         n_out = example[3]
         batch = collate(
             [example],
@@ -225,7 +319,7 @@ class OnlineSegmenter:
         else:
             raw, _ = self.engine.run_batch(batch)
             probs = self._row_probs(batch, np.asarray(raw)[0], 0, n_out)
-        return self._apply_window(probs, end_out)
+        return self._apply_probs(probs, meta)
 
     def _commit(self, spans) -> list[Segment]:
         new: list[Segment] = []
@@ -313,18 +407,17 @@ class MultiStreamSegmenter:
             self._streams[sid]._buffer(samples)
 
         # jobs in per-stream chronological order
-        jobs = []  # (sid, stream, example, end_out)
+        jobs = []  # (sid, stream, example, meta)
         for sid in chunks:
             st = self._streams[sid]
-            for window in st._pop_windows():
-                example, end_out = st._window_example(window)
-                jobs.append((sid, st, example, end_out))
+            for example, meta in st._pop_jobs():
+                jobs.append((sid, st, example, meta))
 
         out: dict = {}
         if jobs:
             probs = self._batched_probs([ex for _, _, ex, _ in jobs])
-            for (sid, st, _ex, end_out), p in zip(jobs, probs):
-                segs = st._apply_window(p, end_out)
+            for (sid, st, _ex, meta), p in zip(jobs, probs):
+                segs = st._apply_probs(p, meta)
                 if segs:
                     out.setdefault(sid, []).extend(segs)
         return out
