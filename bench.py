@@ -379,6 +379,13 @@ def main() -> None:
     if single_talk:
         talk_specs = [float(single_talk)]
         inference_times = int(os.environ.get("BENCH_PASSES_PER_TALK", 1))
+    if os.environ.get("BENCH_MODE") == "sweep16":
+        # the many-talk packing A/B workload (see the sweep16 branch below):
+        # equal mid-length talks, 1 pass — maximal remainder-batch waste
+        # unpacked (7 windows/talk at batch 10 -> 30% dead rows)
+        n16 = int(os.environ.get("BENCH_SWEEP16_TALKS", 16 if on_tpu else 4))
+        talk_specs = [127.9 if on_tpu else 12.3] * n16
+        inference_times = 1
 
     model = SHAS(
         wav2vec_model_name="facebook/wav2vec2-xls-r-300m",
@@ -485,6 +492,51 @@ def main() -> None:
         def run_once(paths=wav_paths):
             return segment_wavs(sweep_cfg, model, params, None, paths,
                                 compute_dtype, engine=engine)
+
+        if os.environ.get("BENCH_MODE") == "sweep16":
+            # VERDICT r4 next #8: prove/retire cross-talk packing's claimed
+            # win on the many-talk workload it was built for — N equal talks
+            # whose per-talk remainder batches pad ~30% dead rows unpacked.
+            # Both arms, wall best/median + device_xrt each.
+            arms = {}
+            n_passes = int(os.environ.get("BENCH_PASSES", 4))
+            for arm, p in (("unpacked", False), ("packed", True)):
+                sweep_cfg["runtime"] = {"pack_across_talks": p}
+                _stage(f"sweep16 {arm}: warmup")
+                run_once()
+                walls = []
+                for _ in range(n_passes):
+                    t0 = time.perf_counter()
+                    run_once()
+                    walls.append(time.perf_counter() - t0)
+                    _stage(f"sweep16 {arm} pass {len(walls)}: "
+                           f"{walls[-1]:.2f}s")
+                dev = None
+                if on_tpu:
+                    try:
+                        tdir = Path(td) / f"trace_{arm}"
+                        with jax.profiler.trace(str(tdir)):
+                            run_once()
+                        busy = _device_busy_seconds(tdir)
+                        dev = total_secs / busy if busy > 0 else None
+                    except Exception as e:
+                        print(f"# sweep16 {arm} trace failed: {e!r}",
+                              file=sys.stderr)
+                arms[arm] = {
+                    "xrt_best": round(total_secs / min(walls), 2),
+                    "xrt_median": round(
+                        total_secs / float(np.median(walls)), 2),
+                    "device_xrt": round(dev, 2) if dev else None,
+                }
+            print(json.dumps({
+                "metric": "xRT_sweep16_packing_ab",
+                "value": arms["packed"]["xrt_best"],
+                "unit": (f"audio-sec/sec ({len(talk_specs)} talks x "
+                         f"{talk_specs[0]:g}s, packed arm)"),
+                "vs_baseline": round(arms["packed"]["xrt_best"] / 50.0, 3),
+                "packed": arms["packed"], "unpacked": arms["unpacked"],
+            }))
+            return
 
         _stage("warmup sweep (compiles both buckets + ladder)")
         run_once()  # warmup: compile both shape buckets + ladder shapes
