@@ -137,8 +137,10 @@ def bench_train() -> None:
     print(json.dumps({
         "metric": "train_step_lna_l24_ft24",
         "value": round(s_per_step, 3),
-        "unit": "s/step (batch=4, 20s windows)",
+        "unit": f"s/step (batch={batch}, 20s windows)",
         "vs_baseline": round(baseline_s / s_per_step, 3),
+        "est_mfu": round(mfu, 3),
+        "audio_xrt": round(batch * window_secs / s_per_step, 1),
     }))
     print(f"# K={K} walls={['%.2f' % w for w in walls]} batch={batch} "
           f"layers={keep} backend={jax.default_backend()} "
@@ -314,7 +316,7 @@ def _start_init_watchdog():
     metric = {"train": "train_step_lna_l24_ft24",
               "online": "online_serving_xRT_per_chip"}.get(
         mode, "xRT_segmentation_per_chip")
-    unit = {"train": "s/step (batch=4, 20s windows)"}.get(mode, "x_realtime")
+    unit = {"train": "s/step (20s windows)"}.get(mode, "x_realtime")
 
     def watch():
         if not done.wait(timeout_s):
