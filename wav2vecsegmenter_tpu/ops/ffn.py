@@ -137,6 +137,14 @@ def ffn(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
     """
     if get_backend() != "pallas":
         return ffn_xla(x, w1, b1, w2, b2)
+    if x.dtype != jnp.bfloat16:
+        # f32 ladder arms (runtime.precision f32last<k>/f32): the kernel
+        # keeps both weight mats VMEM-resident across the grid, which at
+        # f32 is 32 MB and blows the 16 MB scoped-VMEM stack limit
+        # (measured Mosaic compile failure at [8,1099,1024] f32,
+        # 2026-08-20).  f32 is a fidelity arm, not a perf arm — the XLA
+        # chain is the measured-correct path for it (PARITY.md r4 f32 arm).
+        return ffn_xla(x, w1, b1, w2, b2)
     from .shmap import shard_ffn
 
     return shard_ffn(
