@@ -564,9 +564,13 @@ def _ffn_block(ffn_params: dict, x: jax.Array, deterministic: bool,
     activation_dropout == 0 — true for xls-r, the production checkpoint);
     otherwise (CPU parity paths, int8 weights, active activation-dropout)
     the separate-GEMM composition with the materialized-GELU barrier."""
-    act_noop = (deterministic or cfg.activation_dropout == 0.0
-                or rng_act is None)
-    if (act_noop and "qw" not in ffn_params["w1"]
+    # the fused kernel serves the INFERENCE forward only: inside the train
+    # step's jvp the same pallas_call tips the scoped-VMEM stack over the
+    # 16 MB limit at batch 14 (measured Mosaic compile failure, 2026-08-20
+    # — the two VMEM-resident weight mats are 16 MB by themselves and the
+    # grad program's operand fusions cost the remaining margin), and the
+    # backward recomputes through the XLA chain anyway
+    if (deterministic and "qw" not in ffn_params["w1"]
             and get_backend() == "pallas" and ffnfuse_enabled()):
         f = ffn(x, ffn_params["w1"]["w"], ffn_params["w1"]["b"],
                 ffn_params["w2"]["w"], ffn_params["w2"]["b"])

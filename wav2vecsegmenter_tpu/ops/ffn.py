@@ -27,6 +27,11 @@ verified on real TPU by scripts/probe_uneven_small.py).
 
 Backward recomputes through the XLA composition (convfuse.py precedent):
 fine-tuning keeps full gradient support without a hand-written bwd kernel.
+Training FORWARDS also use the XLA chain (models/wav2vec2._ffn_block gates
+the kernel on deterministic): inside the grad program the pallas_call's
+scoped-VMEM stack exceeds the 16 MB limit at batch 14 (the weight mats are
+16 MB by themselves), and the kernel's HBM saving is an inference-forward
+property — the train step is backward-dominated.
 
 Reference behavior: the feed_forward block of HF Wav2Vec2EncoderLayer
 (StableLayerNorm variant), consumed by the reference via lib/models.py:334.
