@@ -76,6 +76,50 @@ def test_kernels_lower_and_match_on_tpu():
                 argnums=(0, 1, 2)))(q, k, v)
             assert all(bool(jnp.isfinite(a).all()) for a in g)
 
+        # packed-layout attention (r5): head-PAIR blocks (d=64) and
+        # one-head blocks (d=128), bf16 production dtype, off the fused
+        # QKV layout [B, T, 3H]
+        from wav2vecsegmenter_tpu.ops.attention import attention_packed
+        for nh, d in ((4, 64), (2, 128)):
+            h = nh * d
+            proj = jax.device_put(
+                (rng.randn(2, 99, 3 * h) * 0.3).astype(np.float32)
+            ).astype(jnp.bfloat16)
+            mask = jax.device_put(
+                np.arange(99)[None, :] < np.array([99, 82])[:, None])
+            qkv = np.asarray(proj, np.float32).reshape(2, 99, 3, nh, d)
+            qm = jnp.asarray(qkv[:, :, 0].transpose(0, 2, 1, 3))
+            km = jnp.asarray(qkv[:, :, 1].transpose(0, 2, 1, 3))
+            want = np.asarray(attention_xla(
+                qm, km, jnp.asarray(qkv[:, :, 2].transpose(0, 2, 1, 3)),
+                mask, d ** -0.5))
+            want = want.transpose(0, 2, 1, 3).reshape(2, 99, h)
+            got = np.asarray(jax.jit(
+                lambda p: attention_packed(p, mask, nh, d ** -0.5))(proj),
+                np.float32)
+            np.testing.assert_allclose(got, want, atol=2e-2)
+
+        # fused FFN kernel (r5): bf16 production dtype, ragged final
+        # row block (999 % 256 != 0 in production; 137 % 64 here)
+        from wav2vecsegmenter_tpu.ops.ffn import _ffn_fused, ffn_xla
+        xf = jax.device_put(
+            (rng.randn(2, 137, 256) * 0.3).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        w1 = jax.device_put((rng.randn(256, 512) * 0.05).astype(np.float32)
+                            ).astype(jnp.bfloat16)
+        b1 = jax.device_put(rng.randn(512).astype(np.float32)
+                            ).astype(jnp.bfloat16)
+        w2 = jax.device_put((rng.randn(512, 256) * 0.05).astype(np.float32)
+                            ).astype(jnp.bfloat16)
+        b2 = jax.device_put(rng.randn(256).astype(np.float32)
+                            ).astype(jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(
+                lambda *a: _ffn_fused(*a, 64))(xf, w1, b1, w2, b2),
+                np.float32),
+            np.asarray(ffn_xla(xf, w1, b1, w2, b2), np.float32),
+            atol=5e-2)
+
         # fused LayerNorm + conv epilogue
         x = jax.device_put(rng.randn(3, 137, 256).astype(np.float32))
         s = jax.device_put(rng.randn(256).astype(np.float32))
