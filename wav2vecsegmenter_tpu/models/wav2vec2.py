@@ -570,18 +570,33 @@ def _ffn_block(ffn_params: dict, x: jax.Array, deterministic: bool,
     # — the two VMEM-resident weight mats are 16 MB by themselves and the
     # grad program's operand fusions cost the remaining margin), and the
     # backward recomputes through the XLA chain anyway
+    act_noop = (deterministic or cfg.activation_dropout == 0.0
+                or rng_act is None)
     if (deterministic and "qw" not in ffn_params["w1"]
             and get_backend() == "pallas" and ffnfuse_enabled()):
         f = ffn(x, ffn_params["w1"]["w"], ffn_params["w1"]["b"],
                 ffn_params["w2"]["w"], ffn_params["w2"]["b"])
     else:
-        f = _lin(ffn_params["w1"], x, compute_dtype)
-        f = _gelu(f)
-        # materialize the GELU output: as a w2-GEMM operand fusion it
-        # drags that GEMM from ~190 to ~81 TF/s on v5e (profiled)
-        f = jax.lax.optimization_barrier(f)
-        f = _dropout(f, cfg.activation_dropout, deterministic, rng_act)
-        f = _lin(ffn_params["w2"], f, compute_dtype)
+        def chain(xx):
+            f = _lin(ffn_params["w1"], xx, compute_dtype)
+            f = _gelu(f)
+            # materialize the GELU output: as a w2-GEMM operand fusion it
+            # drags that GEMM from ~190 to ~81 TF/s on v5e (profiled)
+            f = jax.lax.optimization_barrier(f)
+            f = _dropout(f, cfg.activation_dropout, deterministic, rng_act)
+            return _lin(ffn_params["w2"], f, compute_dtype)
+
+        if not deterministic and act_noop:
+            # training: rematerialize the chain in the backward instead of
+            # stashing the [B, T, 4F] GELU buffers per scan layer — at the
+            # reference's batch_size=14 recipe those stashes alone are
+            # 2 x 2.56 GB and blow the v5e's 16 GB HBM (measured compile
+            # OOM, 2026-08-20); recomputing two GEMMs in the backward
+            # costs ~the same time as reloading their stash bytes.  Same
+            # residual contract as the fused kernel's custom_vjp.
+            f = jax.checkpoint(chain)(x)
+        else:
+            f = chain(x)
     return _dropout(f, cfg.hidden_dropout, deterministic, rng_hid)
 
 
