@@ -464,8 +464,12 @@ def main() -> None:
     # BENCH_QUANT=int8: the opt-in w8a8 serving path (ops/quant.py) for
     # A/B against the bf16 default; output deviation documented in PARITY.md
     quantize = os.environ.get("BENCH_QUANT") or None
+    # BENCH_PRECISION=f32res etc.: the runtime.precision ladder's cost arm
+    # on the recorded workload (fidelity table: PARITY.md "precision ladder")
+    precision = os.environ.get("BENCH_PRECISION") or None
     engine = WindowInference(model, params, loss_tag="bce",
-                             compute_dtype=compute_dtype, quantize=quantize)
+                             compute_dtype=compute_dtype, quantize=quantize,
+                             precision=precision)
 
     pack = bool(int(os.environ.get("BENCH_PACK", "0")))
     sweep_cfg = Config({
