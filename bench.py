@@ -62,6 +62,10 @@ def bench_train() -> None:
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     keep = 24 if on_tpu else 2
     batch = int(os.environ.get("BENCH_BATCH", 4))
+    # BENCH_ACCUM=20 + BENCH_BATCH=14 is the reference's default recipe
+    # (conf/train.yaml:12-24: batch_size=14, update_freq=20); value stays
+    # s per MICRO-step so arms with different accum remain comparable
+    accum = int(os.environ.get("BENCH_ACCUM", 1))
     K = int(os.environ.get("BENCH_K", 8 if on_tpu else 2))
     window_secs = 20.0
     L = int(window_secs * 16000) if on_tpu else 32000
@@ -90,7 +94,7 @@ def bench_train() -> None:
     if on_tpu:
         params = jax.device_put(params, jax.devices()[0])
     mask = model.trainable_mask(params)
-    opt = make_optimizer(2.5e-4, 10_000, 1, mask)
+    opt = make_optimizer(2.5e-4, 10_000, accum, mask)
     state = init_train_state(model, opt, jax.random.PRNGKey(1), params)
     multi = make_train_multistep(
         model, BCEWithLogitsLoss(None), "bce", 0, opt, n_steps=K,
@@ -137,12 +141,14 @@ def bench_train() -> None:
     print(json.dumps({
         "metric": "train_step_lna_l24_ft24",
         "value": round(s_per_step, 3),
-        "unit": f"s/step (batch={batch}, 20s windows)",
+        "unit": (f"s/step (batch={batch}, 20s windows"
+                 + (f", update_freq={accum}" if accum > 1 else "") + ")"),
         "vs_baseline": round(baseline_s / s_per_step, 3),
         "est_mfu": round(mfu, 3),
         "audio_xrt": round(batch * window_secs / s_per_step, 1),
     }))
-    print(f"# K={K} walls={['%.2f' % w for w in walls]} batch={batch} "
+    print(f"# K={K} accum={accum} walls={['%.2f' % w for w in walls]} "
+          f"batch={batch} "
           f"layers={keep} backend={jax.default_backend()} "
           f"audio_rate={batch * window_secs / s_per_step:.1f} audio-s/s "
           f"est_mfu={mfu:.3f}", file=sys.stderr)
