@@ -276,15 +276,22 @@ def bench_online() -> None:
 
 
 def _device_busy_seconds(trace_dir: Path) -> float:
-    """Sum of the serialized "XLA Ops" timeline on /device:TPU:0 from an
-    xplane trace — the device-time companion to the wall clock.  The axon
+    """UNION of the "XLA Ops" intervals on /device:TPU:0 from an xplane
+    trace — the device-time companion to the wall clock.  The axon
     tunnel's wall variance is +-15% within minutes (PERF.md: the same sweep
     measured 1.99 and 4.06 s), so the wall-derived headline can erase real
     device-side wins behind channel weather; this number cannot.  Parsing
     recipe per CLAUDE.md (the tensorboard-plugin-profile converters are
-    broken on this rig): python-impl protobufs + xplane_pb2 directly; the
-    "XLA Ops" line is the serialized compute timeline (other lines are
-    async DMA that overlaps it)."""
+    broken on this rig): python-impl protobufs + xplane_pb2 directly.
+
+    The line is HIERARCHICAL, not flat: `while` ops (the encoder's
+    stacked-layer lax.scan) are emitted as one bracketing event WITH all
+    their body ops nested inside as separate events (verified by
+    timestamp containment 2026-08-21: the sweep's biggest while holds 936
+    children).  A plain duration sum therefore double-counts every scan
+    body — it read 2.12 s on the recorded sweep where the interval union
+    is 1.31 s — so busy time is the merged union of
+    [offset, offset+duration) intervals."""
     os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
@@ -295,8 +302,23 @@ def _device_busy_seconds(trace_dir: Path) -> float:
         if "TPU:0" not in plane.name:
             continue
         for line in plane.lines:
-            if line.name == "XLA Ops":
-                return sum(e.duration_ps for e in line.events) / 1e12
+            if line.name != "XLA Ops":
+                continue
+            iv = sorted((e.offset_ps, e.offset_ps + e.duration_ps)
+                        for e in line.events)
+            busy = 0
+            cur_s = cur_e = None
+            for s, e in iv:
+                if cur_s is None:
+                    cur_s, cur_e = s, e
+                elif s <= cur_e:
+                    cur_e = max(cur_e, e)
+                else:
+                    busy += cur_e - cur_s
+                    cur_s, cur_e = s, e
+            if cur_s is not None:
+                busy += cur_e - cur_s
+            return busy / 1e12
     return 0.0
 
 

@@ -27,7 +27,13 @@ BATCH = 10
 
 
 def parse_device_busy(trace_dir: Path) -> tuple[float, float]:
-    """(busy_seconds, span_seconds) of the XLA Ops line on /device:TPU:0."""
+    """(busy_seconds, span_seconds) of the XLA Ops line on /device:TPU:0.
+
+    Busy is the UNION of event intervals, not the duration sum: the line
+    is hierarchical — `while` ops (lax.scan) bracket their body ops as
+    nested events, so a plain sum double-counts every scan body (it read
+    2.12 s on the recorded sweep where the union is 1.31 s; see
+    bench.py._device_busy_seconds)."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     pb = sorted(trace_dir.rglob("*.xplane.pb"))[-1]
@@ -39,12 +45,22 @@ def parse_device_busy(trace_dir: Path) -> tuple[float, float]:
         for line in plane.lines:
             if line.name != "XLA Ops":
                 continue
-            busy_ps = sum(e.duration_ps for e in line.events)
             if not line.events:
                 return 0.0, 0.0
+            iv = sorted((e.offset_ps, e.offset_ps + e.duration_ps)
+                        for e in line.events)
+            busy = 0
+            cur_s, cur_e = iv[0]
+            for s, e in iv[1:]:
+                if s <= cur_e:
+                    cur_e = max(cur_e, e)
+                else:
+                    busy += cur_e - cur_s
+                    cur_s, cur_e = s, e
+            busy += cur_e - cur_s
             t0 = min(e.offset_ps for e in line.events)
             t1 = max(e.offset_ps + e.duration_ps for e in line.events)
-            return busy_ps / 1e12, (t1 - t0) / 1e12
+            return busy / 1e12, (t1 - t0) / 1e12
     return 0.0, 0.0
 
 
